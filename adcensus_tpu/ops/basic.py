@@ -1,0 +1,122 @@
+"""Small shared JAX ops: color distance, shifts, rounding, windowed sums.
+
+These are the vectorized building blocks shared by the stage kernels; each
+documents which reference loop it re-expresses (see SURVEY.md §2).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from adcensus_tpu.config import LARGE_FLOAT
+
+
+def lround(x: jnp.ndarray) -> jnp.ndarray:
+    """C lround: round half away from zero, as int32.
+
+    (The refinement steps of the reference use lround; jnp.round would
+    round half to even and disagree on *.5 values.)
+    """
+    return jnp.where(
+        x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)
+    ).astype(jnp.int32)
+
+
+def color_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Max-over-channels absolute difference of two (..., 3) uint8 images
+    (cross_aggregator.h:78-80). Returns int32 (...)."""
+    d = jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32))
+    return jnp.max(d, axis=-1)
+
+
+def color_absdiff_sum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sum-over-channels absolute difference, int32 (...)."""
+    d = jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32))
+    return jnp.sum(d, axis=-1)
+
+
+def shift2d(img: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift a (H, W, ...) array so out[y, x] = img[y - dy, x - dx],
+    filling vacated cells with ``fill``. Static shifts compile to
+    pad+slice, which XLA fuses."""
+    h, w = img.shape[0], img.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [
+        (0, 0)
+    ] * (img.ndim - 2)
+    out = jnp.pad(img, pad, constant_values=fill)
+    return out[
+        max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w
+    ]
+
+
+def shift_last(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """Shift along the last axis: out[..., i] = x[..., i - s]."""
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(max(s, 0), max(-s, 0))]
+    out = jnp.pad(x, pad, constant_values=fill)
+    return out[..., max(-s, 0) : max(-s, 0) + n]
+
+
+def gather_right_at_xr(right_vals: jnp.ndarray, disp_range: int,
+                       min_disparity: int) -> jnp.ndarray:
+    """Build out[d, y, x] = right_vals[y, x - d - min_disparity] for
+    d in [0, disp_range), clipping the column index (callers mask validity).
+
+    right_vals: (H, W) array. Returns (D, H, W).
+    This is the epipolar gather shared by cost init (cost_computor.cpp:100)
+    and the scanline d2 lookup (scanline_optimizer.cpp:119).
+    """
+    h, w = right_vals.shape
+    x = jnp.arange(w)[None, None, :]
+    d = jnp.arange(disp_range)[:, None, None]
+    xr = jnp.clip(x - d - min_disparity, 0, w - 1)  # (D, 1, W)
+    # take along the W axis: expand right_vals to (1, H, W)
+    idx = jnp.broadcast_to(xr, (disp_range, h, w))
+    return jnp.take_along_axis(
+        jnp.broadcast_to(right_vals[None], (disp_range, h, w)), idx, axis=2
+    )
+
+
+def window_sum_w(vals: jnp.ndarray, arm_l: jnp.ndarray,
+                 arm_r: jnp.ndarray) -> jnp.ndarray:
+    """Variable-arm horizontal window sum via cumulative sums:
+    out[..., y, x] = sum_{t=-arm_l[y,x]}^{arm_r[y,x]} vals[..., y, x+t].
+
+    Exact O(1)-per-pixel re-expression of the reference's per-pixel arm
+    loops (cross_aggregator.cpp:362-364). ``vals`` is (..., H, W); arms are
+    (H, W) int32 and must keep the window in-bounds (guaranteed by arm
+    construction)."""
+    w = vals.shape[-1]
+    cs = jnp.cumsum(vals, axis=-1)
+    cs = jnp.concatenate(
+        [jnp.zeros(vals.shape[:-1] + (1,), vals.dtype), cs], axis=-1
+    )  # cs[..., k] = sum vals[..., :k]
+    x = jnp.arange(w)
+    hi = (x + arm_r + 1).astype(jnp.int32)  # (H, W)
+    lo = (x - arm_l).astype(jnp.int32)
+    extra = vals.ndim - 2
+    hi = jnp.broadcast_to(hi, vals.shape[:-2] + hi.shape)
+    lo = jnp.broadcast_to(lo, vals.shape[:-2] + lo.shape)
+    return jnp.take_along_axis(cs, hi, axis=-1) - jnp.take_along_axis(
+        cs, lo, axis=-1
+    )
+
+
+def window_sum_h(vals: jnp.ndarray, arm_t: jnp.ndarray,
+                 arm_b: jnp.ndarray) -> jnp.ndarray:
+    """Variable-arm vertical window sum (cross_aggregator.cpp:367-369):
+    out[..., y, x] = sum_{t=-arm_t[y,x]}^{arm_b[y,x]} vals[..., y+t, x]."""
+    h = vals.shape[-2]
+    cs = jnp.cumsum(vals, axis=-2)
+    cs = jnp.concatenate(
+        [jnp.zeros(vals.shape[:-2] + (1,) + vals.shape[-1:], vals.dtype), cs],
+        axis=-2,
+    )
+    y = jnp.arange(h)[:, None]
+    hi = (y + arm_b + 1).astype(jnp.int32)
+    lo = (y - arm_t).astype(jnp.int32)
+    hi = jnp.broadcast_to(hi, vals.shape[:-2] + hi.shape)
+    lo = jnp.broadcast_to(lo, vals.shape[:-2] + lo.shape)
+    return jnp.take_along_axis(cs, hi, axis=-2) - jnp.take_along_axis(
+        cs, lo, axis=-2
+    )

@@ -44,3 +44,14 @@ def oracle_result(small_pair, small_opts):
 
     left, right = small_pair
     return numpy_ref.match(left, right, small_opts)
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_compile_cache()
