@@ -1,0 +1,114 @@
+"""End-to-end AD-Census pipeline, jitted.
+
+Mirrors ADCensusStereo::Match (ADCensusStereo.cpp:69-132): cost init ->
+cross aggregation -> 4-direction scanline -> left/right WTA -> multi-step
+refinement, as a single jitted function over device-resident arrays with a
+static options argument. The batched variant vmaps over image pairs.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adcensus_tpu.config import ADCensusOptions
+from adcensus_tpu.stages import aggregate as agg_stage
+from adcensus_tpu.stages import arms as arms_stage
+from adcensus_tpu.stages import cost as cost_stage
+from adcensus_tpu.stages import refine as refine_stage
+from adcensus_tpu.stages import scanline as scan_stage
+from adcensus_tpu.stages import wta as wta_stage
+
+
+def match_core(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    opts: ADCensusOptions,
+    return_intermediates: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Full pipeline on (H, W, 3) uint8 RGB images; gray images supplied
+    separately so callers can choose the exact-parity host path."""
+    census_l = cost_stage.census_transform_9x7(gray_l)
+    census_r = cost_stage.census_transform_9x7(gray_r)
+    cost_init = cost_stage.compute_cost_volume(
+        left, right, census_l, census_r, opts
+    )
+    arms = arms_stage.build_arms(left, opts)
+    cost_aggr = agg_stage.aggregate(cost_init, arms, opts)
+    cost_scan = scan_stage.scanline_optimize(cost_aggr, left, right, opts)
+    disp_left = wta_stage.wta_left(cost_scan, opts)
+    disp_right = wta_stage.wta_right(cost_scan, opts)
+    refined = refine_stage.multistep_refine(
+        disp_left, disp_right, left, cost_scan, arms, opts
+    )
+    out = {"disparity": refined["final"]}
+    if return_intermediates:
+        out.update(
+            cost_init=cost_init,
+            arms=arms,
+            cost_aggr=cost_aggr,
+            cost_scan=cost_scan,
+            disp_left_raw=disp_left,
+            disp_right_raw=disp_right,
+            **{k: v for k, v in refined.items() if k != "final"},
+        )
+    return out
+
+
+match_core_jit = jax.jit(
+    match_core, static_argnames=("opts", "return_intermediates")
+)
+
+
+def match(
+    left: np.ndarray,
+    right: np.ndarray,
+    opts: Optional[ADCensusOptions] = None,
+    gray_mode: str = "device",
+    return_intermediates: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Host-facing entry point.
+
+    gray_mode:
+      * "device" (default): float32 gray conversion on the TPU;
+      * "host64": bit-exact double-precision gray on the host
+        (cost_computor.cpp:69 truncates a double) for parity runs.
+    """
+    opts = opts or ADCensusOptions()
+    opts.validate()
+    if gray_mode == "host64":
+        gray_l = cost_stage.compute_gray_host64(left)
+        gray_r = cost_stage.compute_gray_host64(right)
+    else:
+        gray_l = cost_stage.compute_gray(jnp.asarray(left))
+        gray_r = cost_stage.compute_gray(jnp.asarray(right))
+    res = match_core_jit(
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.asarray(gray_l),
+        jnp.asarray(gray_r),
+        opts,
+        return_intermediates,
+    )
+    return {k: np.asarray(v) for k, v in res.items()}
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def match_batched(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    grays_l: jnp.ndarray,
+    grays_r: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> jnp.ndarray:
+    """Batched pipeline over (B, H, W, 3) stacks -> (B, H, W) disparities."""
+
+    def one(l, r, gl, gr):
+        return match_core(l, r, gl, gr, opts)["disparity"]
+
+    return jax.vmap(one)(lefts, rights, grays_l, grays_r)

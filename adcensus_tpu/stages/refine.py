@@ -1,0 +1,356 @@
+"""Stage 5 — multi-step disparity refinement, TPU-native dense formulation.
+
+The reference refiner (multistep_refiner.cpp:60-87) is list-driven and
+mutates the disparity map while scanning it. Here every step is a dense
+masked update over the whole map (SURVEY.md §3.3 / §7):
+
+* Outlier detection is *exact*, including the raster-order effect of the
+  reference's in-place invalidation on the occlusion/mismatch split: a
+  pixel read at column col_rl observes the invalidated value iff
+  col_rl < x and (y, col_rl) is itself an outlier — a condition that is
+  dense-computable from the original map.
+* Iterative region voting runs 5 iterations x (mismatch phase, occlusion
+  phase) of simultaneous histogram voting over the cross support region
+  (the horizontal-first aggregation operator applied to a disparity
+  one-hot). Fills within a phase do not see each other — a documented
+  deviation from the reference's list-ordered sequential fills, gated by
+  the end-to-end bad-2.0 tolerance.
+* Proper interpolation marches the 16 precomputed rays with a
+  lax.scan of dynamic slices over a padded map; mismatch fills are
+  written before the occlusion ray search runs, as in the reference.
+* The final 3x3 median is computed out-of-place (the reference calls it
+  with in == out, making its output depend on raster order — documented
+  deviation, also bad-2.0 gated).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adcensus_tpu.config import ADCensusOptions, INVALID_FLOAT, LARGE_FLOAT
+from adcensus_tpu.ops.basic import (
+    lround,
+    shift2d,
+    window_sum_h,
+    window_sum_w,
+)
+
+
+def outlier_detection(
+    disp_left: jnp.ndarray,
+    disp_right: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LR consistency check (multistep_refiner.cpp:90-151), exact.
+
+    Returns (new_disp_left, occlusion_mask, mismatch_mask).
+    """
+    h, w = disp_left.shape
+    x = jnp.arange(w)[None, :]
+    orig_valid = jnp.isfinite(disp_left)
+    d = disp_left
+
+    col_right = lround(x - jnp.where(orig_valid, d, 0.0))
+    cr_in = (col_right >= 0) & (col_right < w)
+    cr_idx = jnp.clip(col_right, 0, w - 1)
+    d_r = jnp.take_along_axis(disp_right, cr_idx, axis=1)
+    lr_fail = orig_valid & cr_in & (jnp.abs(d - d_r) > opts.lrcheck_thres)
+
+    outlier = (~orig_valid) | (~cr_in) | lr_fail
+    new_disp = jnp.where(outlier, INVALID_FLOAT, d)
+
+    # classification of lr_fail pixels via reprojection
+    col_rl = lround(col_right + d_r)
+    rl_in = (col_rl > 0) & (col_rl < w)
+    rl_idx = jnp.clip(col_rl, 0, w - 1)
+    d_l_orig = jnp.take_along_axis(d, rl_idx, axis=1)
+    # the reference reads disp_left_ mid-scan: (y, col_rl) is already
+    # invalidated iff col_rl < x and it is an outlier itself
+    rl_outlier = jnp.take_along_axis(outlier, rl_idx, axis=1)
+    rl_orig_invalid = ~jnp.take_along_axis(orig_valid, rl_idx, axis=1)
+    seen_invalid = (rl_outlier & (col_rl < x)) | rl_orig_invalid
+    d_l_eff = jnp.where(seen_invalid, INVALID_FLOAT, d_l_orig)
+
+    occlusion = lr_fail & rl_in & (d_l_eff > d)
+    mismatch = outlier & ~occlusion
+    return new_disp, occlusion, mismatch
+
+
+def _region_histogram_stats(
+    disp: jnp.ndarray,
+    arms: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """For every pixel: disparity histogram over its cross support region
+    (vertical arm of p crossed with each row anchor's horizontal arms —
+    the horizontal-first region, multistep_refiner.cpp:183-197).
+
+    Returns (best_disp_index, max_ht, count), each (H, W) int32.
+    """
+    d_range = opts.disp_range
+    valid = jnp.isfinite(disp)
+    di = jnp.clip(
+        lround(jnp.where(valid, disp, 0.0)) - opts.min_disparity,
+        0,
+        d_range - 1,
+    )
+    onehot = (
+        (di[None] == jnp.arange(d_range)[:, None, None]) & valid[None]
+    ).astype(jnp.int32)  # (D, H, W)
+    al, ar, at, ab = (arms[..., i] for i in range(4))
+    hist = window_sum_h(window_sum_w(onehot, al, ar), at, ab)  # (D, H, W)
+    max_ht = jnp.max(hist, axis=0)
+    best = jnp.argmax(hist, axis=0).astype(jnp.int32)  # first maximum
+    count = jnp.sum(hist, axis=0)
+    return best, max_ht, count
+
+
+def iterative_region_voting(
+    disp: jnp.ndarray,
+    arms: jnp.ndarray,
+    occlusion: jnp.ndarray,
+    mismatch: jnp.ndarray,
+    opts: ADCensusOptions,
+    num_iters: int = 5,
+) -> jnp.ndarray:
+    """5 iterations x (mismatches, then occlusions) of dense histogram
+    voting (multistep_refiner.cpp:153-227)."""
+    for _ in range(num_iters):
+        for phase_mask in (mismatch, occlusion):
+            target = phase_mask & ~jnp.isfinite(disp)
+            best, max_ht, count = _region_histogram_stats(disp, arms, opts)
+            ratio_ok = (
+                max_ht.astype(jnp.float32) / count.astype(jnp.float32)
+            ) > jnp.float32(opts.irv_th)
+            fill = (
+                target
+                & (max_ht > 0)
+                & (count > opts.irv_ts)
+                & ratio_ok
+            )
+            disp = jnp.where(
+                fill,
+                (best + opts.min_disparity).astype(jnp.float32),
+                disp,
+            )
+    return disp
+
+
+def ray_offset_table(max_search: int) -> np.ndarray:
+    """Static (16, max_search-1, 2) table of (dy, dx) integer offsets for
+    the 16 interpolation rays over [0, pi), double-precision trig +
+    lround, matching multistep_refiner.cpp:253-269."""
+    steps = max(max_search - 1, 1)
+    table = np.zeros((16, steps, 2), dtype=np.int32)
+    ang = 0.0
+    for s in range(16):
+        sina, cosa = math.sin(ang), math.cos(ang)
+        for m in range(1, max_search):
+            yy = math.floor(m * sina + 0.5) if m * sina >= 0 else math.ceil(m * sina - 0.5)
+            xx = math.floor(m * cosa + 0.5) if m * cosa >= 0 else math.ceil(m * cosa - 0.5)
+            table[s, m - 1] = (int(yy), int(xx))
+        ang += 3.1415926 / 16
+    return table
+
+
+def _first_valid_along_rays(
+    disp: jnp.ndarray,
+    left: jnp.ndarray,
+    offsets: jnp.ndarray,
+    pad: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """For every pixel and each of the 16 rays, the first valid disparity
+    along the ray and the color of the pixel it was found at.
+
+    Returns (found (16,H,W) bool, val (16,H,W) f32, color (16,H,W,3) i32).
+    """
+    h, w = disp.shape
+    disp_pad = jnp.pad(disp, pad, constant_values=INVALID_FLOAT)
+    left_pad = jnp.pad(
+        left.astype(jnp.int32), ((pad, pad), (pad, pad), (0, 0))
+    )
+
+    def ray_scan(ray_offsets):
+        def step(carry, off):
+            found, val, col = carry
+            dy, dx = off[0], off[1]
+            cand = jax.lax.dynamic_slice(
+                disp_pad, (pad + dy, pad + dx), (h, w)
+            )
+            ccol = jax.lax.dynamic_slice(
+                left_pad, (pad + dy, pad + dx, 0), (h, w, 3)
+            )
+            cand_valid = jnp.isfinite(cand)
+            take = cand_valid & ~found
+            val = jnp.where(take, cand, val)
+            col = jnp.where(take[..., None], ccol, col)
+            found = found | cand_valid
+            return (found, val, col), None
+
+        init = (
+            jnp.zeros((h, w), bool),
+            jnp.zeros((h, w), jnp.float32),
+            jnp.zeros((h, w, 3), jnp.int32),
+        )
+        (found, val, col), _ = jax.lax.scan(step, init, ray_offsets)
+        return found, val, col
+
+    return jax.vmap(ray_scan)(offsets)
+
+
+def proper_interpolation(
+    disp: jnp.ndarray,
+    left: jnp.ndarray,
+    occlusion: jnp.ndarray,
+    mismatch: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> jnp.ndarray:
+    """16-ray interpolation fill (multistep_refiner.cpp:229-305).
+
+    Mismatches: disparity of the ray hit with the closest color (sum of
+    absolute channel differences, first minimum in ray order). Occlusions:
+    minimum collected disparity. No hit -> fill 0.0 (the reference's
+    zero-initialized fill_disps). Mismatch fills are written before the
+    occlusion ray search, matching the reference's phase order. Within a
+    phase, fills do not see each other — the reference computes all fills
+    of a phase before writing them too (two-phase, multistep_refiner.cpp:244),
+    so phases are exact up to map state at phase start.
+    """
+    max_search = max(abs(opts.max_disparity), abs(opts.min_disparity))
+    offsets = jnp.asarray(ray_offset_table(max_search))
+    pad = int(max_search) + 1
+    center_col = left.astype(jnp.int32)
+
+    def fill_phase(disp, target, is_mismatch):
+        found, val, col = _first_valid_along_rays(disp, left, offsets, pad)
+        if is_mismatch:
+            dist = jnp.sum(jnp.abs(col - center_col[None]), axis=-1)
+            dist = jnp.where(found, dist, 10**9)
+            ray = jnp.argmin(dist, axis=0)  # first minimum in ray order
+            fill_val = jnp.take_along_axis(val, ray[None], axis=0)[0]
+        else:
+            vals = jnp.where(found, val, LARGE_FLOAT)
+            fill_val = jnp.min(vals, axis=0)
+        any_found = jnp.any(found, axis=0)
+        fill_val = jnp.where(any_found, fill_val, 0.0)
+        return jnp.where(target, fill_val, disp)
+
+    mism_target = mismatch & ~jnp.isfinite(disp)
+    disp = fill_phase(disp, mism_target, True)
+    occl_target = occlusion & ~jnp.isfinite(disp)
+    disp = fill_phase(disp, occl_target, False)
+    return disp
+
+
+def edge_detect(disp: jnp.ndarray, threshold: float = 5.0) -> jnp.ndarray:
+    """Sobel edge mask (multistep_refiner.cpp:354-371); border rows/cols 0."""
+    h, w = disp.shape
+    d = disp
+
+    def s(dy, dx):
+        return shift2d(d, -dy, -dx, 0.0)
+
+    gx = (
+        -s(-1, -1) + s(-1, 1) - 2 * s(0, -1) + 2 * s(0, 1) - s(1, -1) + s(1, 1)
+    )
+    gy = (
+        -s(-1, -1) - 2 * s(-1, 0) - s(-1, 1)
+        + s(1, -1) + 2 * s(1, 0) + s(1, 1)
+    )
+    mask = (jnp.abs(gx) + jnp.abs(gy)) > threshold
+    interior = jnp.zeros((h, w), bool).at[1 : h - 1, 1 : w - 1].set(True)
+    return mask & interior
+
+
+def depth_discontinuity_adjustment(
+    disp: jnp.ndarray,
+    cost: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> jnp.ndarray:
+    """Edge-pixel disparity adjustment (multistep_refiner.cpp:307-352),
+    dense approximation: neighbor disparities are read from the pre-update
+    map (the reference updates in place along x; default-off feature).
+
+    The reference indexes the cost volume with lround(d) without
+    subtracting min_disparity — faithful only for min_disparity == 0;
+    indices are clamped here.
+    """
+    d_range, h, w = cost.shape
+    edge = edge_detect(disp, 5.0)
+    valid = jnp.isfinite(disp)
+
+    def cost_at_own_disp(dmap: jnp.ndarray) -> jnp.ndarray:
+        """A[y,x] = cost[lround(dmap[y,x]), y, x] (clamped index)."""
+        v = jnp.isfinite(dmap)
+        idx = jnp.clip(
+            lround(jnp.where(v, dmap, 0.0)), 0, d_range - 1
+        )
+        return jnp.take_along_axis(cost, idx[None], axis=0)[0]
+
+    own_cost = cost_at_own_disp(disp)
+    out_d = disp
+    out_c = own_cost
+    for dx in (-1, 1):
+        # neighbor disparity and the neighbor pixel's cost at that disparity
+        nd = shift2d(disp, 0, -dx, INVALID_FLOAT)
+        nc = shift2d(own_cost, 0, -dx, LARGE_FLOAT)
+        better = edge & valid & jnp.isfinite(nd) & (nc < out_c)
+        out_d = jnp.where(better, nd, out_d)
+        out_c = jnp.where(better, nc, out_c)
+    return out_d
+
+
+def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-place 3x3 median with border-clipped windows
+    (adcensus_util.cpp:55-81). Out-of-bounds slots are +inf, which sorts
+    last; the median index is (window population) // 2.
+
+    Deviation: the reference calls this with in == out so its reads mix
+    filtered and unfiltered neighbors (raster-order dependent); the dense
+    out-of-place result differs slightly and is gated by bad-2.0.
+    """
+    h, w = disp.shape
+    stack = []
+    counts = jnp.zeros((h, w), jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            stack.append(shift2d(disp, -dy, -dx, jnp.inf))
+            counts = counts + shift2d(
+                jnp.ones((h, w), jnp.int32), -dy, -dx, 0
+            )
+    s = jnp.sort(jnp.stack(stack, axis=0), axis=0)
+    idx = (counts // 2)[None]
+    return jnp.take_along_axis(s, idx, axis=0)[0]
+
+
+def multistep_refine(
+    disp_left: jnp.ndarray,
+    disp_right: jnp.ndarray,
+    left: jnp.ndarray,
+    cost: jnp.ndarray,
+    arms: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> Dict[str, jnp.ndarray]:
+    """Full refinement chain (multistep_refiner.cpp:60-87)."""
+    out: Dict[str, jnp.ndarray] = {}
+    disp = disp_left
+    occl = jnp.zeros_like(disp, dtype=bool)
+    mism = jnp.zeros_like(disp, dtype=bool)
+    if opts.do_lr_check:
+        disp, occl, mism = outlier_detection(disp, disp_right, opts)
+        out["after_lr_check"] = disp
+    if opts.do_filling:
+        disp = iterative_region_voting(disp, arms, occl, mism, opts)
+        out["after_voting"] = disp
+        disp = proper_interpolation(disp, left, occl, mism, opts)
+        out["after_interpolation"] = disp
+    if opts.do_discontinuity_adjustment:
+        disp = depth_discontinuity_adjustment(disp, cost, opts)
+        out["after_discontinuity"] = disp
+    disp = median_filter_3x3(disp)
+    out["final"] = disp
+    return out

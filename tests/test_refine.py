@@ -1,0 +1,121 @@
+"""Golden tests: refinement steps and the full pipeline vs the oracle."""
+import numpy as np
+
+from adcensus_tpu.eval.metrics import disparity_agreement
+from adcensus_tpu.oracle import numpy_ref
+from adcensus_tpu.stages import refine as refine_stage
+
+
+def _dhw(v):
+    return np.ascontiguousarray(np.transpose(v, (2, 0, 1)))
+
+
+def test_outlier_detection_exact(small_opts, oracle_result):
+    ref_disp, ref_occl, ref_mism = numpy_ref.outlier_detection(
+        oracle_result["disp_left_raw"],
+        oracle_result["disp_right_raw"],
+        small_opts,
+    )
+    disp, occl, mism = refine_stage.outlier_detection(
+        oracle_result["disp_left_raw"],
+        oracle_result["disp_right_raw"],
+        small_opts,
+    )
+    disp, occl, mism = np.array(disp), np.array(occl), np.array(mism)
+    assert np.array_equal(np.isfinite(disp), np.isfinite(ref_disp))
+    m = np.isfinite(ref_disp)
+    np.testing.assert_array_equal(disp[m], ref_disp[m])
+    occl_ref = np.zeros(disp.shape, bool)
+    for (x, y) in ref_occl:
+        occl_ref[y, x] = True
+    mism_ref = np.zeros(disp.shape, bool)
+    for (x, y) in ref_mism:
+        mism_ref[y, x] = True
+    assert np.array_equal(occl, occl_ref)
+    assert np.array_equal(mism, mism_ref)
+
+
+def test_region_voting_close(small_opts, oracle_result):
+    """Dense voting vs the reference's list-ordered fills: the fill sets
+    may differ slightly at pixels whose histograms depend on same-phase
+    fills; require near-complete agreement."""
+    arms = oracle_result["arms"].astype(np.int32)
+    disp0 = oracle_result["after_lr_check"]
+    # oracle voting needs the lists; rebuild them
+    _, occl, mism = numpy_ref.outlier_detection(
+        oracle_result["disp_left_raw"],
+        oracle_result["disp_right_raw"],
+        small_opts,
+    )
+    occl_m = np.zeros(disp0.shape, bool)
+    mism_m = np.zeros(disp0.shape, bool)
+    for (x, y) in occl:
+        occl_m[y, x] = True
+    for (x, y) in mism:
+        mism_m[y, x] = True
+    ref = numpy_ref.iterative_region_voting(
+        disp0, arms, occl, mism, small_opts
+    )
+    out = np.array(
+        refine_stage.iterative_region_voting(
+            disp0, arms, occl_m, mism_m, small_opts
+        )
+    )
+    # the dense formulation cannot see same-phase sequential fills; on this
+    # deliberately hard crop (mostly-invalid map) ~2% of pixels resolve
+    # differently — the end-to-end gate is bad-2.0 on the full pairs
+    agree = disparity_agreement(out, ref)
+    assert agree["validity_agreement"] > 0.95
+    assert agree["value_agreement"] > 0.95
+
+
+def test_median_outofplace_exact(oracle_result):
+    """The dense median must match a straight out-of-place NumPy median
+    bitwise (border-clipped windows, +inf sorts last)."""
+    src = oracle_result["after_interpolation"]
+    h, w = src.shape
+    ref = np.empty_like(src)
+    for y in range(h):
+        for x in range(w):
+            vals = [
+                src[yy, xx]
+                for yy in range(max(0, y - 1), min(h, y + 2))
+                for xx in range(max(0, x - 1), min(w, x + 2))
+            ]
+            vals.sort()
+            ref[y, x] = vals[len(vals) // 2]
+    out = np.array(refine_stage.median_filter_3x3(src))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_median_close_to_inplace_reference(oracle_result):
+    """Deviation from the reference's in-place (raster-order-dependent)
+    median is bounded: all diffs <= 2.0, ~99% within 0.5."""
+    src = oracle_result["after_interpolation"]
+    ref = numpy_ref.median_filter_inplace(src, 3)
+    out = np.array(refine_stage.median_filter_3x3(src))
+    m = np.isfinite(ref) & np.isfinite(out)
+    d = np.abs(out[m] - ref[m])
+    assert d.max() <= 2.0
+    assert (d <= 0.5).mean() > 0.98
+
+
+def test_full_refine_close(small_pair, small_opts, oracle_result):
+    left, _ = small_pair
+    refined = refine_stage.multistep_refine(
+        oracle_result["disp_left_raw"],
+        oracle_result["disp_right_raw"],
+        left,
+        _dhw(oracle_result["cost_scan"]),
+        oracle_result["arms"].astype(np.int32),
+        small_opts,
+    )
+    out = np.array(refined["final"])
+    ref = oracle_result["final"]
+    assert (np.isfinite(out) == np.isfinite(ref)).mean() > 0.97
+    m = np.isfinite(ref) & np.isfinite(out)
+    d = np.abs(out[m] - ref[m])
+    # dense refinement deviates from the sequential reference only at
+    # fill/median boundary pixels, and then by small magnitudes
+    assert (d <= 0.5).mean() > 0.95
+    assert (d <= 2.0).mean() > 0.99
