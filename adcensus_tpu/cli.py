@@ -1,0 +1,92 @@
+"""Command-line interface, mirroring the reference app (main.cpp:26-145).
+
+Usage:
+    python -m adcensus_tpu.cli LEFT.png RIGHT.png [MIN_DISP] [MAX_DISP]
+    python -m adcensus_tpu.cli --pair Cone          # bundled dataset mode
+
+Saves LEFT-d.png (normalized gray) and LEFT-c.png (JET colormap) beside the
+output prefix, like SaveDisparityMap (main.cpp:180-210), prints per-stage
+timings and, when ground truth is available, bad-delta metrics.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from adcensus_tpu.config import ADCensusOptions
+from adcensus_tpu.eval.metrics import evaluate
+from adcensus_tpu.io.image import (
+    get_pair,
+    load_image_rgb,
+    save_disparity_map,
+)
+from adcensus_tpu.stages.pipeline import match
+
+
+def run_pair(
+    left: np.ndarray,
+    right: np.ndarray,
+    opts: ADCensusOptions,
+    out_prefix: str | None = None,
+    gt: np.ndarray | None = None,
+    verbose: bool = True,
+):
+    h, w, _ = left.shape
+    if verbose:
+        print(f"w = {w}, h = {h}, d = [{opts.min_disparity},{opts.max_disparity}]")
+    t0 = time.perf_counter()
+    res = match(left, right, opts)
+    t1 = time.perf_counter()
+    disp = res["disparity"]
+    mpix_ds = h * w * opts.disp_range / (t1 - t0) / 1e6
+    if verbose:
+        print(f"match: {t1 - t0:.3f} s  ({mpix_ds:.1f} Mpix*disp/s, incl. compile on first call)")
+    metrics = evaluate(disp, gt)
+    if verbose:
+        print(json.dumps(metrics, indent=2))
+    if out_prefix:
+        save_disparity_map(disp, out_prefix)
+    return disp, metrics, t1 - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("left", nargs="?", help="left image path")
+    ap.add_argument("right", nargs="?", help="right image path")
+    ap.add_argument("min_disp", nargs="?", type=int, default=0)
+    ap.add_argument("max_disp", nargs="?", type=int, default=64)
+    ap.add_argument("--pair", help="bundled pair name (Cone/Cloth3/Wood2/Piano)")
+    ap.add_argument("--out", help="output prefix (default: left image path)")
+    ap.add_argument("--no-save", action="store_true")
+    args = ap.parse_args()
+
+    if args.pair:
+        pair = get_pair(args.pair)
+        left, right, gt = pair.load()
+        opts = ADCensusOptions(
+            min_disparity=pair.dmin, max_disparity=pair.dmax
+        )
+        prefix = args.out or os.path.join("out", pair.name)
+    else:
+        if not (args.left and args.right):
+            ap.error("provide LEFT RIGHT paths or --pair NAME")
+        left = load_image_rgb(args.left)
+        right = load_image_rgb(args.right)
+        gt = None
+        opts = ADCensusOptions(
+            min_disparity=args.min_disp, max_disparity=args.max_disp
+        )
+        prefix = args.out or args.left
+    if left.shape != right.shape:
+        raise SystemExit("left/right image sizes differ")
+    if not args.no_save:
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    run_pair(left, right, opts, None if args.no_save else prefix, gt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: cross-window (variable-arm) aggregation pass.
+
+One fused kernel applies both passes of a cross-aggregation iteration to a
+(D, H, W) volume — grid over disparity planes, each plane resident in VMEM:
+
+    pass1: sum along the first axis' per-pixel arms,
+    pass2: sum pass1 along the second axis' arms, optionally / support.
+
+The variable-window sums are masked roll-accumulations: for offset t in
+-L..L, add roll(plane, t) where the pixel's arm covers t. Because adding a
+masked 0.0 is an exact float32 identity, the accumulation order equals the
+reference's sequential per-arm loop (cross_aggregator.cpp:362-383) —
+bit-exact parity, unlike a cumsum-difference.
+
+Arm lengths are bounded by min(L1, 255) = 34 (cross_aggregator.h:22), so
+the unrolled offset loop is 2*34+1 steps of pure VPU work; HBM traffic per
+iteration is one volume read + one write.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _masked_roll_sum(p, lo_arm, hi_arm, axis, max_arm):
+    """sum_{t=-lo_arm[px]..hi_arm[px]} p shifted so out[i] += p[i + t].
+
+    Accumulates in ascending t (the reference's loop order,
+    cross_aggregator.cpp:362), with masked zero adds — bit-exact float32
+    parity with the sequential per-arm sums. Uses an incremental roll-by-1
+    carry inside fori_loops so only O(1) VMEM buffers are live (an unrolled
+    69-roll chain overflows scoped VMEM).
+
+    pltpu.roll(x, shift, axis) maps out[i] = x[i - shift]; out[i] = p[i+t]
+    needs shift = -t (mod n). Wrapped lanes are masked off because arms
+    never cross the image border.
+    """
+    n = p.shape[axis]
+    zero = jnp.zeros_like(p)
+
+    def neg_body(i, carry):
+        acc, rolled = carry
+        t = i - max_arm  # t = -max_arm .. -1
+        acc = acc + jnp.where(lo_arm >= -t, rolled, jnp.float32(0.0))
+        rolled = pltpu.roll(rolled, n - 1, axis=axis)  # advance t by +1
+        return acc, rolled
+
+    acc, _ = jax.lax.fori_loop(
+        0, max_arm, neg_body, (zero, pltpu.roll(p, max_arm % n, axis=axis))
+    )
+    acc = acc + p  # t = 0
+
+    def pos_body(i, carry):
+        acc, rolled = carry
+        t = i + 1  # t = 1 .. max_arm
+        rolled = pltpu.roll(rolled, n - 1, axis=axis)
+        acc = acc + jnp.where(hi_arm >= t, rolled, jnp.float32(0.0))
+        return acc, rolled
+
+    acc, _ = jax.lax.fori_loop(0, max_arm, pos_body, (acc, p))
+    return acc
+
+
+def _cross_pass_kernel(
+    al_ref, ar_ref, at_ref, ab_ref, sup_ref, plane_ref, out_ref,
+    *, horizontal_first: bool, max_arm: int, normalize: bool,
+):
+    p = plane_ref[0]
+    al = al_ref[:].astype(jnp.int32)
+    ar = ar_ref[:].astype(jnp.int32)
+    at = at_ref[:].astype(jnp.int32)
+    ab = ab_ref[:].astype(jnp.int32)
+    if horizontal_first:
+        tmp = _masked_roll_sum(p, al, ar, axis=1, max_arm=max_arm)
+        res = _masked_roll_sum(tmp, at, ab, axis=0, max_arm=max_arm)
+    else:
+        tmp = _masked_roll_sum(p, at, ab, axis=0, max_arm=max_arm)
+        res = _masked_roll_sum(tmp, al, ar, axis=1, max_arm=max_arm)
+    if normalize:
+        res = res / sup_ref[:]
+    out_ref[0] = res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("horizontal_first", "max_arm", "normalize"),
+)
+def cross_pass(
+    vol: jnp.ndarray,
+    arms: jnp.ndarray,
+    sup: jnp.ndarray,
+    horizontal_first: bool,
+    max_arm: int,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """One cross-aggregation iteration over a (D, H, W) volume.
+
+    arms: (H, W, 4) int (left, right, top, bottom); sup: (H, W) float32
+    support counts matching ``horizontal_first``.
+    """
+    d, h, w = vol.shape
+    arm_plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _cross_pass_kernel,
+        horizontal_first=horizontal_first,
+        max_arm=max_arm,
+        normalize=normalize,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d,),
+        in_specs=[
+            arm_plane, arm_plane, arm_plane, arm_plane, arm_plane,
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, h, w), jnp.float32),
+        interpret=_use_interpret(),
+    )(
+        arms[..., 0].astype(jnp.int8),
+        arms[..., 1].astype(jnp.int8),
+        arms[..., 2].astype(jnp.int8),
+        arms[..., 3].astype(jnp.int8),
+        sup.astype(jnp.float32),
+        vol,
+    )

@@ -18,8 +18,9 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from adcensus_tpu.config import ADCensusOptions
+from adcensus_tpu.config import ADCensusOptions, MAX_ARM_LENGTH
 from adcensus_tpu.ops.basic import window_sum_h, window_sum_w
+from adcensus_tpu.ops.cross_sum_pallas import cross_pass
 
 
 def support_counts(arms: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -42,28 +43,42 @@ def aggregate(
     arms: jnp.ndarray,
     opts: ADCensusOptions,
     num_iters: int = 4,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Aggregate a (D, H, W) cost volume over cross support regions.
 
     ``num_iters`` iterations (reference calls Aggregate(4),
     ADCensusStereo.cpp:164) alternating horizontal-first / vertical-first,
     each normalizing by the matching support count.
+
+    The Pallas backend fuses both passes of an iteration into one kernel
+    with the plane resident in VMEM and reproduces the reference's
+    sequential summation order bit-exactly; the jnp backend uses
+    cumsum-difference window sums (tiny reassociation noise).
     """
-    al = arms[..., 0]
-    ar = arms[..., 1]
-    at = arms[..., 2]
-    ab = arms[..., 3]
     sup_h, sup_v = support_counts(arms)
     sup_h = sup_h.astype(jnp.float32)
     sup_v = sup_v.astype(jnp.float32)
+    max_arm = min(opts.cross_L1, MAX_ARM_LENGTH)
 
     horizontal_first = True
     for _ in range(num_iters):
-        if horizontal_first:
-            cost = window_sum_w(cost, al, ar)
-            cost = window_sum_h(cost, at, ab) / sup_h
+        if use_pallas:
+            cost = cross_pass(
+                cost,
+                arms,
+                sup_h if horizontal_first else sup_v,
+                horizontal_first,
+                max_arm,
+                normalize=True,
+            )
         else:
-            cost = window_sum_h(cost, at, ab)
-            cost = window_sum_w(cost, al, ar) / sup_v
+            al, ar, at, ab = (arms[..., i] for i in range(4))
+            if horizontal_first:
+                cost = window_sum_w(cost, al, ar)
+                cost = window_sum_h(cost, at, ab) / sup_h
+            else:
+                cost = window_sum_h(cost, at, ab)
+                cost = window_sum_w(cost, al, ar) / sup_v
         horizontal_first = not horizontal_first
     return cost

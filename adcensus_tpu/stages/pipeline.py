@@ -30,6 +30,7 @@ def match_core(
     gray_r: jnp.ndarray,
     opts: ADCensusOptions,
     return_intermediates: bool = False,
+    use_pallas: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on (H, W, 3) uint8 RGB images; gray images supplied
     separately so callers can choose the exact-parity host path."""
@@ -39,12 +40,17 @@ def match_core(
         left, right, census_l, census_r, opts
     )
     arms = arms_stage.build_arms(left, opts)
-    cost_aggr = agg_stage.aggregate(cost_init, arms, opts)
-    cost_scan = scan_stage.scanline_optimize(cost_aggr, left, right, opts)
+    cost_aggr = agg_stage.aggregate(
+        cost_init, arms, opts, use_pallas=use_pallas
+    )
+    cost_scan = scan_stage.scanline_optimize(
+        cost_aggr, left, right, opts, use_pallas=use_pallas
+    )
     disp_left = wta_stage.wta_left(cost_scan, opts)
     disp_right = wta_stage.wta_right(cost_scan, opts)
     refined = refine_stage.multistep_refine(
-        disp_left, disp_right, left, cost_scan, arms, opts
+        disp_left, disp_right, left, cost_scan, arms, opts,
+        use_pallas=use_pallas,
     )
     out = {"disparity": refined["final"]}
     if return_intermediates:
@@ -61,7 +67,8 @@ def match_core(
 
 
 match_core_jit = jax.jit(
-    match_core, static_argnames=("opts", "return_intermediates")
+    match_core,
+    static_argnames=("opts", "return_intermediates", "use_pallas"),
 )
 
 
@@ -71,6 +78,7 @@ def match(
     opts: Optional[ADCensusOptions] = None,
     gray_mode: str = "device",
     return_intermediates: bool = False,
+    use_pallas: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Host-facing entry point.
 
@@ -94,6 +102,7 @@ def match(
         jnp.asarray(gray_r),
         opts,
         return_intermediates,
+        use_pallas,
     )
     return {k: np.asarray(v) for k, v in res.items()}
 

@@ -84,6 +84,7 @@ def _region_histogram_stats(
     disp: jnp.ndarray,
     arms: jnp.ndarray,
     opts: ADCensusOptions,
+    use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For every pixel: disparity histogram over its cross support region
     (vertical arm of p crossed with each row anchor's horizontal arms —
@@ -98,11 +99,26 @@ def _region_histogram_stats(
         0,
         d_range - 1,
     )
-    onehot = (
-        (di[None] == jnp.arange(d_range)[:, None, None]) & valid[None]
-    ).astype(jnp.int32)  # (D, H, W)
-    al, ar, at, ab = (arms[..., i] for i in range(4))
-    hist = window_sum_h(window_sum_w(onehot, al, ar), at, ab)  # (D, H, W)
+    onehot_bool = (
+        di[None] == jnp.arange(d_range)[:, None, None]
+    ) & valid[None]
+    if use_pallas:
+        from adcensus_tpu.config import MAX_ARM_LENGTH
+        from adcensus_tpu.ops.cross_sum_pallas import cross_pass
+
+        hist = cross_pass(
+            onehot_bool.astype(jnp.float32),
+            arms,
+            jnp.ones(disp.shape, jnp.float32),
+            horizontal_first=True,
+            max_arm=min(opts.cross_L1, MAX_ARM_LENGTH),
+            normalize=False,
+        ).astype(jnp.int32)
+    else:
+        al, ar, at, ab = (arms[..., i] for i in range(4))
+        hist = window_sum_h(
+            window_sum_w(onehot_bool.astype(jnp.int32), al, ar), at, ab
+        )
     max_ht = jnp.max(hist, axis=0)
     best = jnp.argmax(hist, axis=0).astype(jnp.int32)  # first maximum
     count = jnp.sum(hist, axis=0)
@@ -116,13 +132,16 @@ def iterative_region_voting(
     mismatch: jnp.ndarray,
     opts: ADCensusOptions,
     num_iters: int = 5,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """5 iterations x (mismatches, then occlusions) of dense histogram
     voting (multistep_refiner.cpp:153-227)."""
     for _ in range(num_iters):
         for phase_mask in (mismatch, occlusion):
             target = phase_mask & ~jnp.isfinite(disp)
-            best, max_ht, count = _region_histogram_stats(disp, arms, opts)
+            best, max_ht, count = _region_histogram_stats(
+                disp, arms, opts, use_pallas
+            )
             ratio_ok = (
                 max_ht.astype(jnp.float32) / count.astype(jnp.float32)
             ) > jnp.float32(opts.irv_th)
@@ -334,6 +353,7 @@ def multistep_refine(
     cost: jnp.ndarray,
     arms: jnp.ndarray,
     opts: ADCensusOptions,
+    use_pallas: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Full refinement chain (multistep_refiner.cpp:60-87)."""
     out: Dict[str, jnp.ndarray] = {}
@@ -344,7 +364,9 @@ def multistep_refine(
         disp, occl, mism = outlier_detection(disp, disp_right, opts)
         out["after_lr_check"] = disp
     if opts.do_filling:
-        disp = iterative_region_voting(disp, arms, occl, mism, opts)
+        disp = iterative_region_voting(
+            disp, arms, occl, mism, opts, use_pallas=use_pallas
+        )
         out["after_voting"] = disp
         disp = proper_interpolation(disp, left, occl, mism, opts)
         out["after_interpolation"] = disp

@@ -2,122 +2,107 @@
 
 The reference runs four sequential directional DP passes, each pixel's
 D-vector depending on the previous pixel on the path
-(scanline_optimizer.cpp:40-279). Here each pass is a ``lax.scan`` along the
-path axis carrying (Lr, min Lr) for *all* paths simultaneously: the
-recurrence
+(scanline_optimizer.cpp:40-279). Two equivalent backends:
 
-    Lr(p,d) = (C(p,d) + min(Lr(p-r,d), Lr(p-r,d-1)+P1,
-                            Lr(p-r,d+1)+P1, min_d' Lr(p-r,d') + P2)) / 2
+* Pallas (default on TPU): a kernel scanning the path axis with the DP
+  carry in VMEM scratch (adcensus_tpu/ops/scanline_pallas.py).
+* jnp ``lax.scan`` (CPU/tests): the same recurrence, vectorized over all
+  paths of a direction.
 
-is a (P, D)-shaped elementwise step (P = number of parallel paths), with
-the d±1 neighbors as static shifts padded with Large_Float — exactly the
-reference's virtual d=-1/D sentinels (scanline_optimizer.cpp:96). The
-color-adaptive P1/P2 (including the *sticky* d2 lookup) are precomputed as
-(D, H, W) penalty volumes so the scan body is pure arithmetic.
+Both consume a compact (D, H, W) uint8 *penalty code* volume encoding the
+color-adaptive (P1, P2) selection (0: both gradients < tso, 1: exactly one
+>= tso, 2: both >= tso; scanline_optimizer.cpp:128-141).
 
-A Pallas kernel version of the inner scan lives in
-``adcensus_tpu.ops.scanline_pallas`` (used on TPU); this module is the
-reference jnp formulation and the entry point that prepares penalties.
+The reference's d2 lookup is *sticky*: d2 keeps its previous-d value when
+the right-image column xr = x - d - min_disp leaves (0, w-1)
+(scanline_optimizer.cpp:116-126, d2 initialized to d1). Because xr is
+strictly decreasing in d, stickiness has a closed form — no scan needed:
+
+    d2(d, y, x) = d1(y, x)            if xr >= w-1 or x - min_disp <= 0
+                  rd(y, max(xr, 1))   otherwise
+
+(once xr falls to <= 0 the last valid column was 1; if x - min_disp <= 0
+no d was ever valid, leaving the d1 initialization).
 """
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from adcensus_tpu.config import ADCensusOptions, LARGE_FLOAT
 from adcensus_tpu.ops.basic import color_dist, shift2d, shift_last
+from adcensus_tpu.ops.scanline_pallas import scanline_pass_sdp
 
 
-def penalty_volumes(
+def penalty_code(
     left: jnp.ndarray,
     right: jnp.ndarray,
     opts: ADCensusOptions,
     axis: str,
     forward: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """P1/P2 penalty volumes (D, H, W) float32 for one pass direction.
-
-    d1 is the color distance between consecutive *left*-image pixels on the
-    path; d2 the same on the *right* image at column xr = x - d - min_disp
-    (scanline_optimizer.cpp:115-126). d2 is sticky: where xr falls outside
-    (0, w-1) it keeps the value of the previous d iteration (initially d1).
-    The (d1, d2) vs tso quadrant selects (P1, P2), (P1, P2)/4 or /10
-    (scanline_optimizer.cpp:128-141).
-    """
+) -> jnp.ndarray:
+    """(D, H, W) uint8 penalty-code volume for one pass direction."""
     h, w, _ = left.shape
     d_range = opts.disp_range
     direction = 1 if forward else -1
     dy, dx = (0, direction) if axis == "x" else (direction, 0)
 
     # d1[y, x] = dist(left[p], left[p - step]); seed column never read.
-    left_prev = shift2d(left, dy, dx, 0)
-    d1 = color_dist(left, left_prev)  # (H, W) int32
-
+    d1 = color_dist(left, shift2d(left, dy, dx, 0))  # (H, W) int32
     # rd[y, x] = dist(right[y, x], right at p - step in the right image)
-    right_prev = shift2d(right, dy, dx, 0)
-    rd = color_dist(right, right_prev)  # (H, W)
+    rd = color_dist(right, shift2d(right, dy, dx, 0))
 
-    # raw d2 candidates: rd gathered at xr = x - d - min_disp
     x = jnp.arange(w)[None, None, :]
-    d = jnp.arange(d_range)[:, None, None]
-    xr = x - d - opts.min_disparity  # (D, 1, W)
-    valid = (xr > 0) & (xr < w - 1)  # (D, 1, W)
-    xr_c = jnp.clip(xr, 0, w - 1)
-    idx = jnp.broadcast_to(xr_c, (d_range, h, w))
-    g = jnp.take_along_axis(
-        jnp.broadcast_to(rd[None], (d_range, h, w)), idx, axis=2
-    )  # (D, H, W)
-
-    # sticky forward-fill along d: last valid index <= d, else use d1
-    d_ids = jnp.broadcast_to(d, (d_range, 1, w))
-    last_valid = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(valid, d_ids, -1), axis=0
-    )  # (D, 1, W)
-    lv_idx = jnp.broadcast_to(jnp.clip(last_valid, 0), (d_range, h, w))
-    g_fill = jnp.take_along_axis(g, lv_idx, axis=0)
-    has_valid = jnp.broadcast_to(last_valid >= 0, (d_range, h, w))
-    d2 = jnp.where(has_valid, g_fill, d1[None])  # (D, H, W) int32
+    planes = []
+    rd_col1 = rd[:, 1:2] if w > 1 else rd
+    for di in range(d_range):
+        xr = x[0] - di - opts.min_disparity  # (1, W)
+        use_d1 = (xr >= w - 1) | ((x[0] - opts.min_disparity) <= 0)
+        shifted = shift2d(rd, 0, di + opts.min_disparity, 0)
+        sticky = jnp.where(xr < 1, rd_col1, shifted)
+        planes.append(jnp.where(use_d1, d1, sticky))
+    d2 = jnp.stack(planes, axis=0)  # (D, H, W)
 
     tso = opts.so_tso
-    b1 = d1[None] < tso  # broadcast (1,H,W) -> compare
-    b2 = d2 < tso
-    both = b1 & b2
-    neither = (~b1) & (~b2)
+    n_ge = (d1[None] >= tso).astype(jnp.uint8) + (d2 >= tso).astype(
+        jnp.uint8
+    )
+    return n_ge  # 0: both < tso, 1: one >= tso, 2: both >= tso
+
+
+def _decode_penalties(code: jnp.ndarray, opts: ADCensusOptions):
     p1 = jnp.float32(opts.so_p1)
     p2 = jnp.float32(opts.so_p2)
-    P1 = jnp.where(both, p1, jnp.where(neither, p1 / 10, p1 / 4))
-    P2 = jnp.where(both, p2, jnp.where(neither, p2 / 10, p2 / 4))
+    P1 = jnp.where(code == 0, p1, jnp.where(code == 1, p1 / 4, p1 / 10))
+    P2 = jnp.where(code == 0, p2, jnp.where(code == 1, p2 / 4, p2 / 10))
     return P1.astype(jnp.float32), P2.astype(jnp.float32)
 
 
-def _to_scan_layout(vol: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
-    """(D, H, W) -> (S, P, D) with S the scan axis (first element = path
-    seed)."""
+def _to_sdp(vol: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
+    """(D, H, W) -> (S, D, P): scan axis leading, disparity on sublanes,
+    paths on lanes."""
     if axis == "x":
-        v = jnp.transpose(vol, (2, 1, 0))  # (W, H, D)
+        v = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
     else:
-        v = jnp.transpose(vol, (1, 2, 0))  # (H, W, D)
+        v = jnp.transpose(vol, (1, 0, 2))  # (H, D, W)
     if not forward:
         v = jnp.flip(v, axis=0)
     return v
 
 
-def _from_scan_layout(v: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
+def _from_sdp(v: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
     if not forward:
         v = jnp.flip(v, axis=0)
     if axis == "x":
-        return jnp.transpose(v, (2, 1, 0))
-    return jnp.transpose(v, (2, 0, 1))
+        return jnp.transpose(v, (1, 2, 0))  # (D, H, W)
+    return jnp.transpose(v, (1, 0, 2))
 
 
 def scanline_pass_scan(
     cost_s: jnp.ndarray, P1_s: jnp.ndarray, P2_s: jnp.ndarray
 ) -> jnp.ndarray:
-    """Run the DP recurrence over (S, P, D) scan-layout arrays with
-    ``lax.scan``; the first step is the seed (costs copied unchanged,
-    scanline_optimizer.cpp:99-100)."""
+    """jnp backend: DP over (S, P, D) arrays with lax.scan; the first step
+    is the seed (costs copied unchanged, scanline_optimizer.cpp:99-100)."""
     seed = cost_s[0]
     min0 = jnp.min(seed, axis=-1)
 
@@ -127,9 +112,7 @@ def scanline_pass_scan(
         l2 = shift_last(lr_prev, 1, LARGE_FLOAT) + p1v
         l3 = shift_last(lr_prev, -1, LARGE_FLOAT) + p1v
         l4 = min_prev[:, None] + p2v
-        m = jnp.minimum(
-            jnp.minimum(lr_prev, l2), jnp.minimum(l3, l4)
-        )
+        m = jnp.minimum(jnp.minimum(lr_prev, l2), jnp.minimum(l3, l4))
         lr = (c + m) * jnp.float32(0.5)
         mn = jnp.min(lr, axis=-1)
         return (lr, mn), lr
@@ -147,14 +130,31 @@ def scanline_pass(
     opts: ADCensusOptions,
     axis: str,
     forward: bool,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """One directional pass over a (D, H, W) volume."""
-    P1, P2 = penalty_volumes(left, right, opts, axis, forward)
-    cost_s = _to_scan_layout(cost, axis, forward)
-    P1_s = _to_scan_layout(P1, axis, forward)
-    P2_s = _to_scan_layout(P2, axis, forward)
-    out_s = scanline_pass_scan(cost_s, P1_s, P2_s)
-    return _from_scan_layout(out_s, axis, forward)
+    code = penalty_code(left, right, opts, axis, forward)
+    if use_pallas:
+        cost_sdp = _to_sdp(cost, axis, forward)
+        code_sdp = _to_sdp(code, axis, forward)
+        out = scanline_pass_sdp(
+            cost_sdp, code_sdp, float(opts.so_p1), float(opts.so_p2)
+        )
+        return _from_sdp(out, axis, forward)
+    P1, P2 = _decode_penalties(code, opts)
+    # jnp scan layout: (S, P, D)
+    perm = (2, 1, 0) if axis == "x" else (1, 2, 0)
+    cost_s = jnp.transpose(cost, perm)
+    P1_s = jnp.transpose(P1, perm)
+    P2_s = jnp.transpose(P2, perm)
+    if not forward:
+        cost_s, P1_s, P2_s = (jnp.flip(v, 0) for v in (cost_s, P1_s, P2_s))
+    out = scanline_pass_scan(cost_s, P1_s, P2_s)
+    if not forward:
+        out = jnp.flip(out, 0)
+    if axis == "x":
+        return jnp.transpose(out, (2, 1, 0))
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def scanline_optimize(
@@ -162,11 +162,10 @@ def scanline_optimize(
     left: jnp.ndarray,
     right: jnp.ndarray,
     opts: ADCensusOptions,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Four sequential directional passes: L→R, R→L, U→D, D→U, each
     consuming the previous pass's output (scanline_optimizer.cpp:53-60)."""
-    cost = scanline_pass(cost, left, right, opts, "x", True)
-    cost = scanline_pass(cost, left, right, opts, "x", False)
-    cost = scanline_pass(cost, left, right, opts, "y", True)
-    cost = scanline_pass(cost, left, right, opts, "y", False)
+    for axis, fwd in (("x", True), ("x", False), ("y", True), ("y", False)):
+        cost = scanline_pass(cost, left, right, opts, axis, fwd, use_pallas)
     return cost

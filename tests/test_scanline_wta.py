@@ -14,7 +14,7 @@ def _hwd(v):
     return np.transpose(np.array(v), (1, 2, 0))
 
 
-def test_scanline_single_pass(small_pair, small_opts, oracle_result):
+def test_scanline_single_pass_jnp(small_pair, small_opts, oracle_result):
     from adcensus_tpu.oracle import numpy_ref
 
     left, right = small_pair
@@ -24,18 +24,42 @@ def test_scanline_single_pass(small_pair, small_opts, oracle_result):
             oracle_result["cost_aggr"], left, right, small_opts, axis, fwd
         )
         out = _hwd(
-            scan_stage.scanline_pass(vol, left, right, small_opts, axis, fwd)
+            scan_stage.scanline_pass(
+                vol, left, right, small_opts, axis, fwd, use_pallas=False
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=f"{axis} {fwd}")
+
+
+def test_scanline_single_pass_pallas_interpret(
+    small_pair, small_opts, oracle_result
+):
+    from adcensus_tpu.oracle import numpy_ref
+
+    left, right = small_pair
+    vol = _dhw(oracle_result["cost_aggr"])
+    for axis, fwd in [("x", True), ("y", False)]:
+        ref = numpy_ref._scanline_pass(
+            oracle_result["cost_aggr"], left, right, small_opts, axis, fwd
+        )
+        out = _hwd(
+            scan_stage.scanline_pass(
+                vol, left, right, small_opts, axis, fwd, use_pallas=True
+            )
         )
         np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=f"{axis} {fwd}")
 
 
 def test_scanline_full(small_pair, small_opts, oracle_result):
     left, right = small_pair
-    fn = jax.jit(
-        scan_stage.scanline_optimize, static_argnames=("opts", "axis")
-    ) if False else scan_stage.scanline_optimize
     out = _hwd(
-        fn(_dhw(oracle_result["cost_aggr"]), left, right, small_opts)
+        scan_stage.scanline_optimize(
+            _dhw(oracle_result["cost_aggr"]),
+            left,
+            right,
+            small_opts,
+            use_pallas=False,
+        )
     )
     np.testing.assert_allclose(out, oracle_result["cost_scan"], atol=1e-5)
 
