@@ -121,11 +121,13 @@ class StereoPair:
 
 
 # Bundled Middlebury pairs (reference Data/; d ranges from d_range.txt,
-# GT scales: Cone quarter-size x4, Cloth3/Wood2 third-size x3).
+# GT scales: Cone quarter-size x4; Cloth3/Wood2 are half-size 2006 pairs
+# with x2-scaled disparity PNGs — verified empirically against the
+# compiled reference's output, see tools/measure_cpu_baseline.py).
 _PAIR_FILES = {
     "Cone": ("im2.png", "im6.png", "disp2.png", 4.0),
-    "Cloth3": ("view1.png", "view5.png", "disp1.png", 3.0),
-    "Wood2": ("view1.png", "view5.png", "disp1.png", 3.0),
+    "Cloth3": ("view1.png", "view5.png", "disp1.png", 2.0),
+    "Wood2": ("view1.png", "view5.png", "disp1.png", 2.0),
     "Piano": ("im0.png", "im1.png", None, 1.0),
 }
 

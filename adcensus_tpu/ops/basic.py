@@ -11,6 +11,14 @@ import jax.numpy as jnp
 from adcensus_tpu.config import LARGE_FLOAT
 
 
+def resolve_use_pallas(use_pallas):
+    """None -> auto: Pallas kernels on TPU, jnp fallbacks on CPU (tests
+    exercise the kernels separately in interpreter mode)."""
+    if use_pallas is None:
+        return jax.default_backend() != "cpu"
+    return use_pallas
+
+
 def lround(x: jnp.ndarray) -> jnp.ndarray:
     """C lround: round half away from zero, as int32.
 

@@ -19,22 +19,45 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from adcensus_tpu.config import ADCensusOptions, MAX_ARM_LENGTH
-from adcensus_tpu.ops.basic import window_sum_h, window_sum_w
+from adcensus_tpu.ops.basic import (
+    resolve_use_pallas,
+    window_sum_h,
+    window_sum_w,
+)
 from adcensus_tpu.ops.cross_sum_pallas import cross_pass
 
 
-def support_counts(arms: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _arm_sum_rolls(
+    vals: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, axis: int,
+    max_arm: int,
+) -> jnp.ndarray:
+    """Variable-arm sum of an (H, W) plane via static masked shifts
+    (gather-free; arms never cross the border so shifted fill is masked)."""
+    from adcensus_tpu.ops.basic import shift2d
+
+    acc = vals
+    for t in range(1, max_arm + 1):
+        sh = (-t, 0) if axis == 0 else (0, -t)
+        acc = acc + jnp.where(hi >= t, shift2d(vals, *sh, 0), 0)
+        sh = (t, 0) if axis == 0 else (0, t)
+        acc = acc + jnp.where(lo >= t, shift2d(vals, *sh, 0), 0)
+    return acc
+
+
+def support_counts(
+    arms: jnp.ndarray, max_arm: int = MAX_ARM_LENGTH
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Support-region pixel counts (horizontal-first, vertical-first),
     each (H, W) int32 (cross_aggregator.cpp:271-325)."""
     al = arms[..., 0]
     ar = arms[..., 1]
     at = arms[..., 2]
     ab = arms[..., 3]
-    ones = jnp.ones(arms.shape[:-1], jnp.int32)
-    h_extent = window_sum_w(ones, al, ar)       # = al + ar + 1
-    v_extent = window_sum_h(ones, at, ab)
-    sup_h = window_sum_h(h_extent, at, ab)      # horizontal-first
-    sup_v = window_sum_w(v_extent, al, ar)      # vertical-first
+    max_arm = min(max_arm, MAX_ARM_LENGTH)
+    h_extent = (al + ar + 1).astype(jnp.int32)
+    v_extent = (at + ab + 1).astype(jnp.int32)
+    sup_h = _arm_sum_rolls(h_extent, at, ab, 0, max_arm)  # horizontal-first
+    sup_v = _arm_sum_rolls(v_extent, al, ar, 1, max_arm)  # vertical-first
     return sup_h, sup_v
 
 
@@ -43,7 +66,7 @@ def aggregate(
     arms: jnp.ndarray,
     opts: ADCensusOptions,
     num_iters: int = 4,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Aggregate a (D, H, W) cost volume over cross support regions.
 
@@ -56,10 +79,11 @@ def aggregate(
     sequential summation order bit-exactly; the jnp backend uses
     cumsum-difference window sums (tiny reassociation noise).
     """
-    sup_h, sup_v = support_counts(arms)
+    use_pallas = resolve_use_pallas(use_pallas)
+    max_arm = min(opts.cross_L1, MAX_ARM_LENGTH)
+    sup_h, sup_v = support_counts(arms, max_arm)
     sup_h = sup_h.astype(jnp.float32)
     sup_v = sup_v.astype(jnp.float32)
-    max_arm = min(opts.cross_L1, MAX_ARM_LENGTH)
 
     horizontal_first = True
     for _ in range(num_iters):

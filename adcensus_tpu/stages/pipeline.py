@@ -30,7 +30,7 @@ def match_core(
     gray_r: jnp.ndarray,
     opts: ADCensusOptions,
     return_intermediates: bool = False,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on (H, W, 3) uint8 RGB images; gray images supplied
     separately so callers can choose the exact-parity host path."""
@@ -78,7 +78,7 @@ def match(
     opts: Optional[ADCensusOptions] = None,
     gray_mode: str = "device",
     return_intermediates: bool = False,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> Dict[str, np.ndarray]:
     """Host-facing entry point.
 

@@ -34,6 +34,7 @@ import numpy as np
 from adcensus_tpu.config import ADCensusOptions, INVALID_FLOAT, LARGE_FLOAT
 from adcensus_tpu.ops.basic import (
     lround,
+    resolve_use_pallas,
     shift2d,
     window_sum_h,
     window_sum_w,
@@ -84,7 +85,7 @@ def _region_histogram_stats(
     disp: jnp.ndarray,
     arms: jnp.ndarray,
     opts: ADCensusOptions,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For every pixel: disparity histogram over its cross support region
     (vertical arm of p crossed with each row anchor's horizontal arms —
@@ -102,7 +103,7 @@ def _region_histogram_stats(
     onehot_bool = (
         di[None] == jnp.arange(d_range)[:, None, None]
     ) & valid[None]
-    if use_pallas:
+    if resolve_use_pallas(use_pallas):
         from adcensus_tpu.config import MAX_ARM_LENGTH
         from adcensus_tpu.ops.cross_sum_pallas import cross_pass
 
@@ -132,7 +133,7 @@ def iterative_region_voting(
     mismatch: jnp.ndarray,
     opts: ADCensusOptions,
     num_iters: int = 5,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """5 iterations x (mismatches, then occlusions) of dense histogram
     voting (multistep_refiner.cpp:153-227)."""
@@ -353,7 +354,7 @@ def multistep_refine(
     cost: jnp.ndarray,
     arms: jnp.ndarray,
     opts: ADCensusOptions,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full refinement chain (multistep_refiner.cpp:60-87)."""
     out: Dict[str, jnp.ndarray] = {}

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from adcensus_tpu.config import ADCensusOptions, LARGE_FLOAT
-from adcensus_tpu.ops.basic import color_dist, shift2d, shift_last
+from adcensus_tpu.ops.basic import (
+    color_dist,
+    resolve_use_pallas,
+    shift2d,
+    shift_last,
+)
 from adcensus_tpu.ops.scanline_pallas import scanline_pass_sdp
 
 
@@ -130,9 +135,10 @@ def scanline_pass(
     opts: ADCensusOptions,
     axis: str,
     forward: bool,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """One directional pass over a (D, H, W) volume."""
+    use_pallas = resolve_use_pallas(use_pallas)
     code = penalty_code(left, right, opts, axis, forward)
     if use_pallas:
         cost_sdp = _to_sdp(cost, axis, forward)
@@ -162,7 +168,7 @@ def scanline_optimize(
     left: jnp.ndarray,
     right: jnp.ndarray,
     opts: ADCensusOptions,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Four sequential directional passes: L→R, R→L, U→D, D→U, each
     consuming the previous pass's output (scanline_optimizer.cpp:53-60)."""

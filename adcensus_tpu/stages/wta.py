@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from adcensus_tpu.config import ADCensusOptions, INVALID_FLOAT, LARGE_FLOAT
+from adcensus_tpu.ops.basic import shift2d
 
 
 def _subpixel(
@@ -53,15 +54,18 @@ def right_cost_volume(
 ) -> jnp.ndarray:
     """cost_r(d, y, x) = cost_l(d, y, x + d) with d the true disparity
     (plane index + min_disparity); Large_Float out of range
-    (ADCensusStereo.cpp:277-286)."""
+    (ADCensusStereo.cpp:277-286).
+
+    Each plane is a *static* shift of the corresponding left plane —
+    compiled to fused pad/slice ops instead of a (slow) TPU gather.
+    """
     d_range, h, w = cost.shape
-    x = jnp.arange(w)[None, None, :]
-    d = jnp.arange(d_range)[:, None, None] + opts.min_disparity
-    col = x + d
-    oob = (col < 0) | (col >= w)
-    idx = jnp.broadcast_to(jnp.clip(col, 0, w - 1), (d_range, h, w))
-    gathered = jnp.take_along_axis(cost, idx, axis=2)
-    return jnp.where(oob, LARGE_FLOAT, gathered)
+    planes = []
+    for di in range(d_range):
+        d = di + opts.min_disparity
+        # out[y, x] = cost[di, y, x + d]  ->  shift by -d along x
+        planes.append(shift2d(cost[di], 0, -d, LARGE_FLOAT))
+    return jnp.stack(planes, axis=0)
 
 
 def wta_right(cost: jnp.ndarray, opts: ADCensusOptions) -> jnp.ndarray:
