@@ -89,11 +89,23 @@ def _cross_pass_kernel(
     out_ref[0] = res
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("horizontal_first", "max_arm", "normalize"),
-)
-def cross_pass(
+def _masked_roll_sum_jnp(p, lo_arm, hi_arm, axis, max_arm):
+    """jnp mirror of _masked_roll_sum over a (D, H, W) volume (axis is the
+    spatial axis, 1 or 2). Same ascending-t masked accumulation — bit-exact
+    vs the reference, and immune to garbage in halo regions (arms never
+    reach past the true image border, so wrapped values are masked off)."""
+    acc = jnp.zeros_like(p)
+    for t in range(-max_arm, max_arm + 1):
+        if t == 0:
+            acc = acc + p
+            continue
+        rolled = jnp.roll(p, -t, axis=axis)
+        cond = lo_arm >= -t if t < 0 else hi_arm >= t
+        acc = acc + jnp.where(cond, rolled, jnp.float32(0.0))
+    return acc
+
+
+def cross_pass_ref(
     vol: jnp.ndarray,
     arms: jnp.ndarray,
     sup: jnp.ndarray,
@@ -101,11 +113,61 @@ def cross_pass(
     max_arm: int,
     normalize: bool = True,
 ) -> jnp.ndarray:
+    """Pure-jnp reference implementation of ``cross_pass`` (used on CPU and
+    for kernel validation); numerically identical to the Pallas kernel."""
+    al = arms[..., 0].astype(jnp.int32)
+    ar = arms[..., 1].astype(jnp.int32)
+    at = arms[..., 2].astype(jnp.int32)
+    ab = arms[..., 3].astype(jnp.int32)
+    if horizontal_first:
+        tmp = _masked_roll_sum_jnp(vol, al, ar, 2, max_arm)
+        res = _masked_roll_sum_jnp(tmp, at, ab, 1, max_arm)
+    else:
+        tmp = _masked_roll_sum_jnp(vol, at, ab, 1, max_arm)
+        res = _masked_roll_sum_jnp(tmp, al, ar, 2, max_arm)
+    if normalize:
+        res = res / sup.astype(jnp.float32)
+    return res
+
+
+def cross_pass(
+    vol: jnp.ndarray,
+    arms: jnp.ndarray,
+    sup: jnp.ndarray,
+    horizontal_first: bool,
+    max_arm: int,
+    normalize: bool = True,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
     """One cross-aggregation iteration over a (D, H, W) volume.
 
     arms: (H, W, 4) int (left, right, top, bottom); sup: (H, W) float32
-    support counts matching ``horizontal_first``.
+    support counts matching ``horizontal_first``. Dispatches to the Pallas
+    kernel on TPU and the exact jnp mirror on CPU.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if not use_pallas:
+        return cross_pass_ref(
+            vol, arms, sup, horizontal_first, max_arm, normalize
+        )
+    return _cross_pass_pallas(
+        vol, arms, sup, horizontal_first, max_arm, normalize
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("horizontal_first", "max_arm", "normalize"),
+)
+def _cross_pass_pallas(
+    vol: jnp.ndarray,
+    arms: jnp.ndarray,
+    sup: jnp.ndarray,
+    horizontal_first: bool,
+    max_arm: int,
+    normalize: bool = True,
+) -> jnp.ndarray:
     d, h, w = vol.shape
     arm_plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(

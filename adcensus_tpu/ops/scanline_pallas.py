@@ -7,6 +7,12 @@ paths of a direction simultaneously: the volume is pre-transposed to
 P = parallel paths on lanes. The carry (Lr vector per path + per-path min)
 lives in VMEM scratch and persists across the sequential grid steps.
 
+Each scan step carries a flag (0 = padding, 1 = seed, 2 = normal) so the
+same kernel serves the sharded pipeline, where images are padded to a
+multiple of the tile count: padding steps pass the carry through untouched,
+and the seed step (the first *real* pixel of each path) copies its costs
+unchanged (scanline_optimizer.cpp:99-100).
+
 The color-adaptive penalties are fed as a compact (S, D, P) uint8 code
 volume (0: both gradients < tso, 1: exactly one >= tso, 2: both >= tso)
 decoded in-kernel to the static (P1, P2), (P1,P2)/4, (P1,P2)/10 constants
@@ -15,8 +21,7 @@ decoded in-kernel to the static (P1, P2), (P1,P2)/4, (P1,P2)/10 constants
 Recurrence (scanline_optimizer.cpp:143-151, note: no min subtraction, /2):
     Lr(p,d) = (C(p,d) + min(Lr(p-r,d), Lr(p-r,d-1)+P1,
                             Lr(p-r,d+1)+P1, min_d' Lr(p-r,d') + P2)) / 2
-with virtual d = -1 / D neighbors at Large_Float and the first pixel of
-each path seeded with its raw costs (scanline_optimizer.cpp:96-100).
+with virtual d = -1 / D neighbors at Large_Float.
 """
 from __future__ import annotations
 
@@ -29,6 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from adcensus_tpu.config import LARGE_FLOAT
+
+FLAG_PAD = 0
+FLAG_SEED = 1
+FLAG_NORMAL = 2
 
 
 def _use_interpret() -> bool:
@@ -48,22 +57,26 @@ def _shift_d(lr: jnp.ndarray, up: bool) -> jnp.ndarray:
 
 
 def _scanline_kernel(
-    cost_ref, code_ref, out_ref, lr_ref, min_ref,
+    flag_ref, cost_ref, code_ref, out_ref, lr_ref, min_ref,
     *, p1: float, p2: float,
 ):
-    k = pl.program_id(0)
+    flag = flag_ref[pl.program_id(0)]
     c = cost_ref[0]       # (D, P)
-    # int8 vector compares are unsupported on some TPU targets; widen
-    code = code_ref[0].astype(jnp.int32)  # (D, P)
 
-    @pl.when(k == 0)
+    @pl.when(flag == FLAG_PAD)
+    def _pad():
+        out_ref[0] = c  # cropped by the caller; carry untouched
+
+    @pl.when(flag == FLAG_SEED)
     def _seed():
         out_ref[0] = c
         lr_ref[:] = c
         min_ref[:] = jnp.min(c, axis=0, keepdims=True)
 
-    @pl.when(k > 0)
+    @pl.when(flag == FLAG_NORMAL)
     def _step():
+        # int8 vector compares are unsupported on some TPU targets; widen
+        code = code_ref[0].astype(jnp.int32)  # (D, P)
         lr_prev = lr_ref[:]
         min_prev = min_ref[:]
         # decode penalties as a masked linear combination (Mosaic dislikes
@@ -95,18 +108,21 @@ def _scanline_kernel(
 def scanline_pass_sdp(
     cost_sdp: jnp.ndarray,
     code_sdp: jnp.ndarray,
+    flags: jnp.ndarray,
     p1: float,
     p2: float,
 ) -> jnp.ndarray:
-    """Run one pass over (S, D, P) arrays; returns the optimized (S, D, P)
-    volume. The S grid executes sequentially on TPU, so the VMEM scratch
-    carries the DP state between steps."""
+    """Run one pass over (S, D, P) arrays; ``flags`` is (S,) int32 with
+    FLAG_PAD / FLAG_SEED / FLAG_NORMAL per step. Returns the optimized
+    (S, D, P) volume. The S grid executes sequentially on TPU, so the VMEM
+    scratch carries the DP state between steps."""
     s, d, p = cost_sdp.shape
     kernel = functools.partial(_scanline_kernel, p1=p1, p2=p2)
     return pl.pallas_call(
         kernel,
         grid=(s,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full flags array
             pl.BlockSpec((1, d, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, p), lambda i: (i, 0, 0),
@@ -121,4 +137,14 @@ def scanline_pass_sdp(
             pltpu.VMEM((1, p), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(cost_sdp, code_sdp)
+    )(flags.astype(jnp.int32), cost_sdp, code_sdp)
+
+
+def default_flags(s: int) -> jnp.ndarray:
+    """Flags for an unpadded pass: seed then normals."""
+    return jnp.concatenate(
+        [
+            jnp.array([FLAG_SEED], jnp.int32),
+            jnp.full((s - 1,), FLAG_NORMAL, jnp.int32),
+        ]
+    )

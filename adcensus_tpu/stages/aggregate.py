@@ -19,11 +19,6 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from adcensus_tpu.config import ADCensusOptions, MAX_ARM_LENGTH
-from adcensus_tpu.ops.basic import (
-    resolve_use_pallas,
-    window_sum_h,
-    window_sum_w,
-)
 from adcensus_tpu.ops.cross_sum_pallas import cross_pass
 
 
@@ -79,7 +74,6 @@ def aggregate(
     sequential summation order bit-exactly; the jnp backend uses
     cumsum-difference window sums (tiny reassociation noise).
     """
-    use_pallas = resolve_use_pallas(use_pallas)
     max_arm = min(opts.cross_L1, MAX_ARM_LENGTH)
     sup_h, sup_v = support_counts(arms, max_arm)
     sup_h = sup_h.astype(jnp.float32)
@@ -87,22 +81,14 @@ def aggregate(
 
     horizontal_first = True
     for _ in range(num_iters):
-        if use_pallas:
-            cost = cross_pass(
-                cost,
-                arms,
-                sup_h if horizontal_first else sup_v,
-                horizontal_first,
-                max_arm,
-                normalize=True,
-            )
-        else:
-            al, ar, at, ab = (arms[..., i] for i in range(4))
-            if horizontal_first:
-                cost = window_sum_w(cost, al, ar)
-                cost = window_sum_h(cost, at, ab) / sup_h
-            else:
-                cost = window_sum_h(cost, at, ab)
-                cost = window_sum_w(cost, al, ar) / sup_v
+        cost = cross_pass(
+            cost,
+            arms,
+            sup_h if horizontal_first else sup_v,
+            horizontal_first,
+            max_arm,
+            normalize=True,
+            use_pallas=use_pallas,
+        )
         horizontal_first = not horizontal_first
     return cost

@@ -32,13 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adcensus_tpu.config import ADCensusOptions, INVALID_FLOAT, LARGE_FLOAT
-from adcensus_tpu.ops.basic import (
-    lround,
-    resolve_use_pallas,
-    shift2d,
-    window_sum_h,
-    window_sum_w,
-)
+from adcensus_tpu.ops.basic import lround, shift2d
 
 
 def outlier_detection(
@@ -103,23 +97,18 @@ def _region_histogram_stats(
     onehot_bool = (
         di[None] == jnp.arange(d_range)[:, None, None]
     ) & valid[None]
-    if resolve_use_pallas(use_pallas):
-        from adcensus_tpu.config import MAX_ARM_LENGTH
-        from adcensus_tpu.ops.cross_sum_pallas import cross_pass
+    from adcensus_tpu.config import MAX_ARM_LENGTH
+    from adcensus_tpu.ops.cross_sum_pallas import cross_pass
 
-        hist = cross_pass(
-            onehot_bool.astype(jnp.float32),
-            arms,
-            jnp.ones(disp.shape, jnp.float32),
-            horizontal_first=True,
-            max_arm=min(opts.cross_L1, MAX_ARM_LENGTH),
-            normalize=False,
-        ).astype(jnp.int32)
-    else:
-        al, ar, at, ab = (arms[..., i] for i in range(4))
-        hist = window_sum_h(
-            window_sum_w(onehot_bool.astype(jnp.int32), al, ar), at, ab
-        )
+    hist = cross_pass(
+        onehot_bool.astype(jnp.float32),
+        arms,
+        jnp.ones(disp.shape, jnp.float32),
+        horizontal_first=True,
+        max_arm=min(opts.cross_L1, MAX_ARM_LENGTH),
+        normalize=False,
+        use_pallas=use_pallas,
+    ).astype(jnp.int32)
     max_ht = jnp.max(hist, axis=0)
     best = jnp.argmax(hist, axis=0).astype(jnp.int32)  # first maximum
     count = jnp.sum(hist, axis=0)

@@ -103,29 +103,62 @@ def _from_sdp(v: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
     return jnp.transpose(v, (1, 0, 2))
 
 
+def _scan_flags(s_len: int, valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Per-step flags in scan order: FLAG_PAD where the step is image
+    padding, FLAG_SEED at the first real step, FLAG_NORMAL after."""
+    from adcensus_tpu.ops.scanline_pallas import (
+        FLAG_NORMAL,
+        FLAG_PAD,
+        FLAG_SEED,
+    )
+
+    if valid is None:
+        valid = jnp.ones((s_len,), bool)
+    first = jnp.argmax(valid)  # index of first True
+    ids = jnp.arange(s_len)
+    return jnp.where(
+        ~valid,
+        FLAG_PAD,
+        jnp.where(ids == first, FLAG_SEED, FLAG_NORMAL),
+    ).astype(jnp.int32)
+
+
 def scanline_pass_scan(
-    cost_s: jnp.ndarray, P1_s: jnp.ndarray, P2_s: jnp.ndarray
+    cost_s: jnp.ndarray,
+    P1_s: jnp.ndarray,
+    P2_s: jnp.ndarray,
+    flags: jnp.ndarray,
 ) -> jnp.ndarray:
-    """jnp backend: DP over (S, P, D) arrays with lax.scan; the first step
-    is the seed (costs copied unchanged, scanline_optimizer.cpp:99-100)."""
-    seed = cost_s[0]
-    min0 = jnp.min(seed, axis=-1)
+    """jnp backend: DP over (S, P, D) arrays with lax.scan. Flagged like
+    the Pallas kernel: padding passes the carry through, the seed step
+    copies costs unchanged (scanline_optimizer.cpp:99-100)."""
+    from adcensus_tpu.ops.scanline_pallas import FLAG_NORMAL, FLAG_SEED
+
+    p, d = cost_s.shape[1:]
+    init = (
+        jnp.full((p, d), LARGE_FLOAT, jnp.float32),
+        jnp.full((p,), LARGE_FLOAT, jnp.float32),
+    )
 
     def step(carry, xs):
         lr_prev, min_prev = carry
-        c, p1v, p2v = xs
+        c, p1v, p2v, flag = xs
         l2 = shift_last(lr_prev, 1, LARGE_FLOAT) + p1v
         l3 = shift_last(lr_prev, -1, LARGE_FLOAT) + p1v
         l4 = min_prev[:, None] + p2v
         m = jnp.minimum(jnp.minimum(lr_prev, l2), jnp.minimum(l3, l4))
-        lr = (c + m) * jnp.float32(0.5)
-        mn = jnp.min(lr, axis=-1)
-        return (lr, mn), lr
+        computed = (c + m) * jnp.float32(0.5)
+        is_seed = flag == FLAG_SEED
+        is_norm = flag == FLAG_NORMAL
+        lr = jnp.where(is_norm, computed, c)  # pad/seed emit raw costs
+        new_lr = jnp.where(is_seed | is_norm, lr, lr_prev)
+        new_min = jnp.where(
+            is_seed | is_norm, jnp.min(lr, axis=-1), min_prev
+        )
+        return (new_lr, new_min), lr
 
-    (_, _), rest = jax.lax.scan(
-        step, (seed, min0), (cost_s[1:], P1_s[1:], P2_s[1:])
-    )
-    return jnp.concatenate([seed[None], rest], axis=0)
+    (_, _), out = jax.lax.scan(step, init, (cost_s, P1_s, P2_s, flags))
+    return out
 
 
 def scanline_pass(
@@ -136,15 +169,26 @@ def scanline_pass(
     axis: str,
     forward: bool,
     use_pallas: bool | None = None,
+    valid_s: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """One directional pass over a (D, H, W) volume."""
+    """One directional pass over a (D, H, W) volume.
+
+    ``valid_s``: optional (S,) bool marking real (non-padding) positions
+    along the scan axis in volume orientation (W for axis 'x', H for 'y');
+    used by the sharded pipeline, which pads images to tile multiples.
+    """
     use_pallas = resolve_use_pallas(use_pallas)
     code = penalty_code(left, right, opts, axis, forward)
+    s_len = cost.shape[2] if axis == "x" else cost.shape[1]
+    v = valid_s
+    if v is not None and not forward:
+        v = jnp.flip(v)
+    flags = _scan_flags(s_len, v)
     if use_pallas:
         cost_sdp = _to_sdp(cost, axis, forward)
         code_sdp = _to_sdp(code, axis, forward)
         out = scanline_pass_sdp(
-            cost_sdp, code_sdp, float(opts.so_p1), float(opts.so_p2)
+            cost_sdp, code_sdp, flags, float(opts.so_p1), float(opts.so_p2)
         )
         return _from_sdp(out, axis, forward)
     P1, P2 = _decode_penalties(code, opts)
@@ -154,8 +198,8 @@ def scanline_pass(
     P1_s = jnp.transpose(P1, perm)
     P2_s = jnp.transpose(P2, perm)
     if not forward:
-        cost_s, P1_s, P2_s = (jnp.flip(v, 0) for v in (cost_s, P1_s, P2_s))
-    out = scanline_pass_scan(cost_s, P1_s, P2_s)
+        cost_s, P1_s, P2_s = (jnp.flip(v2, 0) for v2 in (cost_s, P1_s, P2_s))
+    out = scanline_pass_scan(cost_s, P1_s, P2_s, flags)
     if not forward:
         out = jnp.flip(out, 0)
     if axis == "x":
@@ -169,9 +213,14 @@ def scanline_optimize(
     right: jnp.ndarray,
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
+    valid_w: jnp.ndarray | None = None,
+    valid_h: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Four sequential directional passes: L→R, R→L, U→D, D→U, each
     consuming the previous pass's output (scanline_optimizer.cpp:53-60)."""
     for axis, fwd in (("x", True), ("x", False), ("y", True), ("y", False)):
-        cost = scanline_pass(cost, left, right, opts, axis, fwd, use_pallas)
+        cost = scanline_pass(
+            cost, left, right, opts, axis, fwd, use_pallas,
+            valid_s=valid_w if axis == "x" else valid_h,
+        )
     return cost

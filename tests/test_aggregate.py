@@ -18,25 +18,27 @@ def test_support_counts_exact(small_opts, oracle_result):
     assert np.array_equal(np.array(sup_v), oracle_result["sup_count_v"])
 
 
-def test_aggregate_jnp_close(small_opts, oracle_result):
+def test_aggregate_pallas_matches_jnp_ref(small_opts, oracle_result):
+    """Pallas kernel (interpreter mode on CPU) == jnp mirror bitwise."""
+    arms = oracle_result["arms"].astype(np.int32)
+    cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
+    out_p = np.array(
+        agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=True)
+    )
+    out_j = np.array(
+        agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=False)
+    )
+    np.testing.assert_array_equal(out_p, out_j)
+
+
+def test_aggregate_near_exact(small_opts, oracle_result):
+    """Both backends accumulate in the reference's sequential order; the
+    only deviation is XLA keeping excess precision in the add chain
+    (<= 1 ulp after 4 iterations)."""
     arms = oracle_result["arms"].astype(np.int32)
     cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
     out = np.array(
         agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=False)
     )
     out = np.transpose(out, (1, 2, 0))
-    ref = oracle_result["cost_aggr"]
-    # cumsum-difference vs sequential adds: tiny float reassociation noise
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
-
-
-def test_aggregate_pallas_exact(small_opts, oracle_result):
-    """The Pallas kernel accumulates in the reference's sequential order —
-    bit-exact parity (run in interpreter mode on CPU)."""
-    arms = oracle_result["arms"].astype(np.int32)
-    cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
-    out = np.array(
-        agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=True)
-    )
-    out = np.transpose(out, (1, 2, 0))
-    np.testing.assert_array_equal(out, oracle_result["cost_aggr"])
+    np.testing.assert_allclose(out, oracle_result["cost_aggr"], atol=1e-6)
