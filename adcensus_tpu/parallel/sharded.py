@@ -1,0 +1,436 @@
+"""Multi-chip sharded AD-Census pipeline (net-new vs the single-thread
+reference — SURVEY.md §2 "Parallelism & communication components").
+
+Strategy (SURVEY.md §7): shard the *cost volume* over image rows on the
+``tile`` mesh axis and batch pairs over ``data``. All image-level arrays
+(images, gray, census, arms, support counts, path color-distances) are
+tiny (a few MB) and kept replicated — each shard recomputes/slices them
+locally, so only volume-sized traffic crosses chips:
+
+* cost init / horizontal scanline passes / WTA / LR check: row-local.
+* cross aggregation + region voting: each iteration exchanges a
+  max_arm-row halo with row neighbors via ``ppermute`` (ICI), then runs
+  the same fused kernel on the haloed slab. Arms never cross the true
+  image border, so the masked-roll accumulation reads garbage halo cells
+  only where the mask is 0 — sharded == unsharded exactly.
+* vertical scanline passes: the volume is resharded rows->columns with
+  ``all_to_all`` (the 2-D-FFT transpose trick), the DP runs column-local,
+  then resharded back. No serialized cross-chip DP chain.
+* proper interpolation: the disparity *map* (H*W floats, ~1 MB) is
+  all-gathered; each shard computes ray fills only for its rows.
+* images are padded to tile multiples; the scanline kernel's step flags
+  and the median's in-image mask keep padded results identical to the
+  unpadded single-chip pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adcensus_tpu.config import (
+    ADCensusOptions,
+    INVALID_FLOAT,
+    LARGE_FLOAT,
+    MAX_ARM_LENGTH,
+)
+from adcensus_tpu.ops.cross_sum_pallas import cross_pass
+from adcensus_tpu.stages import aggregate as agg_stage
+from adcensus_tpu.stages import arms as arms_stage
+from adcensus_tpu.stages import cost as cost_stage
+from adcensus_tpu.stages import refine as refine_stage
+from adcensus_tpu.stages import scanline as scan_stage
+from adcensus_tpu.stages import wta as wta_stage
+from adcensus_tpu.stages.scanline import (
+    _to_sdp,
+    _from_sdp,
+    _scan_flags,
+    scanline_pass_scan,
+    _decode_penalties,
+)
+from adcensus_tpu.ops.scanline_pallas import scanline_pass_sdp
+from adcensus_tpu.ops.basic import color_dist, resolve_use_pallas, shift2d
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_hw(x: jnp.ndarray, hp: int, wp: int, fill) -> jnp.ndarray:
+    h, w = x.shape[0], x.shape[1]
+    pad = [(0, hp - h), (0, wp - w)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _halo_rows(slab: jnp.ndarray, halo: int, axis: int) -> jnp.ndarray:
+    """Prepend/append ``halo`` rows from row-neighbor shards along the
+    'tile' mesh axis (non-wrapping; edge shards receive zeros, which are
+    always masked off because arms/windows never cross the image border).
+    ``axis`` is the row axis of the local slab. When the halo exceeds the
+    local row count (tiny images / many shards) the exchange is multi-hop.
+    """
+    n = jax.lax.axis_size("tile")
+    h_local = slab.shape[axis]
+    hops = -(-halo // h_local)
+
+    def take(sl, start, stop):
+        idx = [slice(None)] * sl.ndim
+        idx[axis] = slice(start, stop)
+        return sl[tuple(idx)]
+
+    above = []  # slabs of shards i-1, i-2, ... (nearest first)
+    below = []  # slabs of shards i+1, i+2, ...
+    for s in range(1, hops + 1):
+        above.append(
+            jax.lax.ppermute(
+                slab, "tile", [(i, i + s) for i in range(n - s)]
+            )
+        )
+        below.append(
+            jax.lax.ppermute(
+                slab, "tile", [(i + s, i) for i in range(n - s)]
+            )
+        )
+    top = (
+        above[0] if hops == 1 else jnp.concatenate(above[::-1], axis=axis)
+    )
+    bottom = (
+        below[0] if hops == 1 else jnp.concatenate(below, axis=axis)
+    )
+    top = take(top, top.shape[axis] - halo, top.shape[axis])
+    bottom = take(bottom, 0, halo)
+    return jnp.concatenate([top, slab, bottom], axis=axis)
+
+
+def _scanline_with_code(cost, code, opts, axis, forward, valid_s, use_pallas):
+    """One directional scanline pass given a prebuilt penalty-code volume."""
+    s_len = cost.shape[2] if axis == "x" else cost.shape[1]
+    v = valid_s
+    if v is not None and not forward:
+        v = jnp.flip(v)
+    flags = _scan_flags(s_len, v)
+    if use_pallas:
+        out = scanline_pass_sdp(
+            _to_sdp(cost, axis, forward),
+            _to_sdp(code, axis, forward),
+            flags,
+            float(opts.so_p1),
+            float(opts.so_p2),
+        )
+        return _from_sdp(out, axis, forward)
+    P1, P2 = _decode_penalties(code, opts)
+    perm = (2, 1, 0) if axis == "x" else (1, 2, 0)
+    cost_s, P1_s, P2_s = (jnp.transpose(t, perm) for t in (cost, P1, P2))
+    if not forward:
+        cost_s, P1_s, P2_s = (jnp.flip(t, 0) for t in (cost_s, P1_s, P2_s))
+    out = scanline_pass_scan(cost_s, P1_s, P2_s, flags)
+    if not forward:
+        out = jnp.flip(out, 0)
+    return (
+        jnp.transpose(out, (2, 1, 0))
+        if axis == "x"
+        else jnp.transpose(out, (2, 0, 1))
+    )
+
+
+def _code_volume(d1_slab, rd_full, opts, real_w, col0, out_w):
+    """Penalty-code volume (D, rows, out_w) for columns
+    [col0, col0+out_w): d1_slab is (rows, out_w); rd_full is (rows, W_full)
+    so the epipolar lookup rd[y, xr] can cross column-shard boundaries."""
+    d_range = opts.disp_range
+    rows, w_full = rd_full.shape
+    x = col0 + jnp.arange(out_w)[None, :]
+    rd_col1 = rd_full[:, 1:2] if w_full > 1 else rd_full
+    planes = []
+    for di in range(d_range):
+        xr = x - di - opts.min_disparity  # (1, out_w) global columns
+        use_d1 = (xr >= real_w - 1) | ((x - opts.min_disparity) <= 0)
+        # rd_full[y, xr] for xr in [col0-d-min, col0+out_w-d-min): static
+        # shift of the full-width image, then slice our columns
+        shifted_full = shift2d(rd_full, 0, di + opts.min_disparity, 0)
+        shifted = jax.lax.dynamic_slice_in_dim(
+            shifted_full, col0, out_w, axis=1
+        )
+        sticky = jnp.where(xr < 1, rd_col1, shifted)
+        planes.append(jnp.where(use_d1, d1_slab, sticky))
+    d2 = jnp.stack(planes, axis=0)
+    tso = opts.so_tso
+    return (d1_slab[None] >= tso).astype(jnp.uint8) + (d2 >= tso).astype(
+        jnp.uint8
+    )
+
+
+def _path_dists(img_a, img_b, axis, forward):
+    """(d1, rd) color-distance images for one pass direction, computed on
+    *unpadded* images (scanline_optimizer.cpp:115-126)."""
+    direction = 1 if forward else -1
+    dy, dx = (0, direction) if axis == "x" else (direction, 0)
+    d1 = color_dist(img_a, shift2d(img_a, dy, dx, 0))
+    rd = color_dist(img_b, shift2d(img_b, dy, dx, 0))
+    return d1, rd
+
+
+def _pair_body(left, right, gray_l, gray_r,
+               opts: ADCensusOptions, dims, use_pallas: bool):
+    """Per-shard computation for one pair. Inputs are the *unpadded*
+    replicated (H, W)-level arrays; each shard redundantly performs the
+    (cheap) image-level precomputation, pads, and then computes its own
+    (H_local, Wp) rows of the disparity map."""
+    (h, w, hp, wp, n_tile) = dims
+    halo_pre = min(opts.cross_L1, MAX_ARM_LENGTH)
+
+    # replicated image-level precomputation on unpadded arrays (border
+    # semantics of census/arms depend on the true image size)
+    census_l = cost_stage.census_transform_9x7(gray_l)
+    census_r = cost_stage.census_transform_9x7(gray_r)
+    arms0 = arms_stage.build_arms(left, opts)
+    sup_h0, sup_v0 = agg_stage.support_counts(arms0, halo_pre)
+
+    dists = {}
+    for ax in ("x", "y"):
+        for fw in (True, False):
+            d1, rd = _path_dists(left, right, ax, fw)
+            dists[(ax, fw)] = (
+                _pad_hw(d1, hp, wp, 0),
+                _pad_hw(rd, hp, wp, 0),
+            )
+
+    census_l = _pad_hw(census_l, hp, wp, 0)
+    census_r = _pad_hw(census_r, hp, wp, 0)
+    # arms/sup get `halo` extra rows top+bottom for static haloed slices
+    arms = jnp.pad(
+        _pad_hw(arms0, hp, wp, 0), ((halo_pre, halo_pre), (0, 0), (0, 0))
+    )
+    sup_h = jnp.pad(
+        _pad_hw(sup_h0, hp, wp, 1), ((halo_pre, halo_pre), (0, 0)),
+        constant_values=1,
+    )
+    sup_v = jnp.pad(
+        _pad_hw(sup_v0, hp, wp, 1), ((halo_pre, halo_pre), (0, 0)),
+        constant_values=1,
+    )
+    left = _pad_hw(left, hp, wp, 0)
+    right = _pad_hw(right, hp, wp, 0)
+    h_local = hp // n_tile
+    w_local = wp // n_tile
+    halo = min(opts.cross_L1, MAX_ARM_LENGTH)
+    i = jax.lax.axis_index("tile")
+    r0 = i * h_local
+    c0 = i * w_local
+
+    def rows(x, start, count, axis=0):
+        return jax.lax.dynamic_slice_in_dim(x, start, count, axis=axis)
+
+    # ---- cost initialization (row-local) ------------------------------
+    left_slab = rows(left, r0, h_local)
+    right_slab = rows(right, r0, h_local)
+    cl_slab = rows(census_l, r0, h_local)
+    cr_slab = rows(census_r, r0, h_local)
+    vol = cost_stage.compute_cost_volume(
+        left_slab, right_slab, cl_slab, cr_slab, opts
+    )  # (D, h_local, wp)
+
+    # ---- cross aggregation with row halos -----------------------------
+    # arms/sup were pre-padded with `halo` extra rows on top and bottom,
+    # so the haloed slab aligns with rows [r0 - halo, r0 + h_local + halo)
+    arms_halo = rows(arms, r0, h_local + 2 * halo)
+    sup_h_halo = rows(sup_h, r0, h_local + 2 * halo).astype(jnp.float32)
+    sup_v_halo = rows(sup_v, r0, h_local + 2 * halo).astype(jnp.float32)
+    horizontal_first = True
+    for _ in range(4):
+        padded = _halo_rows(vol, halo, axis=1)
+        out = cross_pass(
+            padded,
+            arms_halo,
+            sup_h_halo if horizontal_first else sup_v_halo,
+            horizontal_first,
+            halo,
+            normalize=True,
+            use_pallas=use_pallas,
+        )
+        vol = out[:, halo : halo + h_local]
+        horizontal_first = not horizontal_first
+
+    # ---- scanline: horizontal passes (row-local) -----------------------
+    valid_w = jnp.arange(wp) < w
+    valid_h = jnp.arange(hp) < h
+    for fwd in (True, False):
+        d1, rd = dists[("x", fwd)]
+        code = _code_volume(
+            rows(d1, r0, h_local), rows(rd, r0, h_local), opts, w, 0, wp
+        )
+        vol = _scanline_with_code(
+            vol, code, opts, "x", fwd, valid_w, use_pallas
+        )
+
+    # ---- reshard rows -> columns, vertical passes, reshard back --------
+    vol = jax.lax.all_to_all(vol, "tile", split_axis=2, concat_axis=1,
+                             tiled=True)  # (D, hp, w_local)
+    for fwd in (True, False):
+        d1, rd = dists[("y", fwd)]
+        code = _code_volume(
+            rows(d1, c0, w_local, axis=1), rd, opts, w, c0, w_local
+        )
+        vol = _scanline_with_code(
+            vol, code, opts, "y", fwd, valid_h, use_pallas
+        )
+    vol = jax.lax.all_to_all(vol, "tile", split_axis=1, concat_axis=2,
+                             tiled=True)  # (D, h_local, wp)
+
+    # ---- WTA (row-local); pad columns behave like out-of-image ---------
+    col_pad = (jnp.arange(wp) >= w)[None, None, :]
+    vol = jnp.where(col_pad, LARGE_FLOAT, vol)
+    disp_l = wta_stage.wta_left(vol, opts)
+    disp_r = wta_stage.wta_right(vol, opts)
+
+    # ---- refinement -----------------------------------------------------
+    row_ids = r0 + jnp.arange(h_local)
+    in_image = (row_ids[:, None] < h) & (jnp.arange(wp)[None, :] < w)
+    disp, occl, mism = refine_stage.outlier_detection(
+        disp_l, disp_r, opts, real_w=w
+    )
+    disp = jnp.where(in_image, disp, INVALID_FLOAT)
+    occl = occl & in_image
+    mism = mism & in_image
+
+    if opts.do_filling:
+        # iterative region voting with row halos
+        arms_vote = rows(arms, r0, h_local + 2 * halo)
+        ones_sup = jnp.ones(
+            (h_local + 2 * halo, wp), jnp.float32
+        )
+        d_range = opts.disp_range
+        from adcensus_tpu.ops.basic import lround as _lround
+
+        for _ in range(5):
+            for phase_mask in (mism, occl):
+                target = phase_mask & ~jnp.isfinite(disp)
+                dpad = _halo_rows(disp, halo, axis=0)
+                valid = jnp.isfinite(dpad)
+                di = jnp.clip(
+                    _lround(jnp.where(valid, dpad, 0.0))
+                    - opts.min_disparity,
+                    0,
+                    d_range - 1,
+                )
+                onehot = (
+                    (di[None] == jnp.arange(d_range)[:, None, None])
+                    & valid[None]
+                ).astype(jnp.float32)
+                hist = cross_pass(
+                    onehot, arms_vote, ones_sup, True, halo,
+                    normalize=False, use_pallas=use_pallas,
+                ).astype(jnp.int32)[:, halo : halo + h_local]
+                max_ht = jnp.max(hist, axis=0)
+                best = jnp.argmax(hist, axis=0).astype(jnp.int32)
+                count = jnp.sum(hist, axis=0)
+                ratio_ok = (
+                    max_ht.astype(jnp.float32) / count.astype(jnp.float32)
+                ) > jnp.float32(opts.irv_th)
+                fill = (
+                    target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
+                )
+                disp = jnp.where(
+                    fill,
+                    (best + opts.min_disparity).astype(jnp.float32),
+                    disp,
+                )
+
+        # proper interpolation: all-gather the (small) disparity map,
+        # compute ray fills for own rows only
+        left_full = left  # replicated full padded image
+        full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
+        mism_target = mism & ~jnp.isfinite(disp)
+        fills = refine_stage.interpolation_fills(
+            full, left_full, opts, True, row_offset=0, out_rows=hp
+        )
+        fills = rows(fills, r0, h_local)
+        disp = jnp.where(mism_target, fills, disp)
+        full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
+        occl_target = occl & ~jnp.isfinite(disp)
+        fills = refine_stage.interpolation_fills(
+            full, left_full, opts, False, row_offset=0, out_rows=hp
+        )
+        fills = rows(fills, r0, h_local)
+        disp = jnp.where(occl_target, fills, disp)
+
+    # ---- median with 1-row halo and in-image mask -----------------------
+    dpad = _halo_rows(disp, 1, axis=0)
+    mpad = _halo_rows(in_image, 1, axis=0)
+    # edge shards receive zero halos; ppermute delivers zeros for bool too
+    med = refine_stage.median_filter_3x3(dpad, mpad)
+    disp = med[1 : 1 + h_local]
+    return jnp.where(in_image, disp, INVALID_FLOAT)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "mesh", "use_pallas")
+)
+def match_sharded(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    opts: ADCensusOptions,
+    mesh: Mesh,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Row-sharded single-pair pipeline over the mesh's 'tile' axis.
+
+    Inputs are unpadded (H, W[, 3]) arrays; returns the (H, W) disparity.
+    """
+    use_pallas = resolve_use_pallas(use_pallas)
+    h, w, _ = left.shape
+    n_tile = mesh.shape["tile"]
+    hp = _ceil_to(h, n_tile)
+    wp = _ceil_to(w, n_tile)
+    dims = (h, w, hp, wp, n_tile)
+    body = functools.partial(
+        _pair_body, opts=opts, dims=dims, use_pallas=use_pallas
+    )
+    disp_p = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) * 4,
+        out_specs=P("tile", None),
+        check_vma=False,
+    )(left, right, gray_l, gray_r)
+    return disp_p[:h, :w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "mesh", "use_pallas")
+)
+def match_sharded_batched(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    grays_l: jnp.ndarray,
+    grays_r: jnp.ndarray,
+    opts: ADCensusOptions,
+    mesh: Mesh,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Batch of pairs sharded over 'data', rows over 'tile':
+    (B, H, W, 3) stacks -> (B, H, W) disparities. B must be a multiple of
+    the mesh's data-axis size."""
+    use_pallas = resolve_use_pallas(use_pallas)
+    b, h, w, _ = lefts.shape
+    n_tile = mesh.shape["tile"]
+    hp = _ceil_to(h, n_tile)
+    wp = _ceil_to(w, n_tile)
+    dims = (h, w, hp, wp, n_tile)
+    body = functools.partial(
+        _pair_body, opts=opts, dims=dims, use_pallas=use_pallas
+    )
+    disp_p = jax.shard_map(
+        jax.vmap(body),
+        mesh=mesh,
+        in_specs=(P("data"),) * 4,
+        out_specs=P("data", "tile", None),
+        check_vma=False,
+    )(lefts, rights, grays_l, grays_r)
+    return disp_p[:, :h, :w]

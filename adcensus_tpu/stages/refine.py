@@ -39,18 +39,22 @@ def outlier_detection(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
     opts: ADCensusOptions,
+    real_w: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """LR consistency check (multistep_refiner.cpp:90-151), exact.
 
-    Returns (new_disp_left, occlusion_mask, mismatch_mask).
+    Returns (new_disp_left, occlusion_mask, mismatch_mask). ``real_w``
+    bounds the in-image column checks when the arrays are padded (sharded
+    pipeline); defaults to the array width.
     """
     h, w = disp_left.shape
+    rw = w if real_w is None else real_w
     x = jnp.arange(w)[None, :]
     orig_valid = jnp.isfinite(disp_left)
     d = disp_left
 
     col_right = lround(x - jnp.where(orig_valid, d, 0.0))
-    cr_in = (col_right >= 0) & (col_right < w)
+    cr_in = (col_right >= 0) & (col_right < rw)
     cr_idx = jnp.clip(col_right, 0, w - 1)
     d_r = jnp.take_along_axis(disp_right, cr_idx, axis=1)
     lr_fail = orig_valid & cr_in & (jnp.abs(d - d_r) > opts.lrcheck_thres)
@@ -60,7 +64,7 @@ def outlier_detection(
 
     # classification of lr_fail pixels via reprojection
     col_rl = lround(col_right + d_r)
-    rl_in = (col_rl > 0) & (col_rl < w)
+    rl_in = (col_rl > 0) & (col_rl < rw)
     rl_idx = jnp.clip(col_rl, 0, w - 1)
     d_l_orig = jnp.take_along_axis(d, rl_idx, axis=1)
     # the reference reads disp_left_ mid-scan: (y, col_rl) is already
@@ -171,13 +175,18 @@ def _first_valid_along_rays(
     left: jnp.ndarray,
     offsets: jnp.ndarray,
     pad: int,
+    row_offset: int = 0,
+    out_rows: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """For every pixel and each of the 16 rays, the first valid disparity
-    along the ray and the color of the pixel it was found at.
+    """For each pixel of rows [row_offset, row_offset + out_rows) and each
+    of the 16 rays, the first valid disparity along the ray and the color
+    of the pixel it was found at (rays read the *full* map — the sharded
+    pipeline passes an all-gathered map and computes only its own rows).
 
-    Returns (found (16,H,W) bool, val (16,H,W) f32, color (16,H,W,3) i32).
+    Returns (found (16,R,W) bool, val (16,R,W) f32, color (16,R,W,3) i32).
     """
     h, w = disp.shape
+    r = h - row_offset if out_rows is None else out_rows
     disp_pad = jnp.pad(disp, pad, constant_values=INVALID_FLOAT)
     left_pad = jnp.pad(
         left.astype(jnp.int32), ((pad, pad), (pad, pad), (0, 0))
@@ -188,10 +197,10 @@ def _first_valid_along_rays(
             found, val, col = carry
             dy, dx = off[0], off[1]
             cand = jax.lax.dynamic_slice(
-                disp_pad, (pad + dy, pad + dx), (h, w)
+                disp_pad, (pad + row_offset + dy, pad + dx), (r, w)
             )
             ccol = jax.lax.dynamic_slice(
-                left_pad, (pad + dy, pad + dx, 0), (h, w, 3)
+                left_pad, (pad + row_offset + dy, pad + dx, 0), (r, w, 3)
             )
             cand_valid = jnp.isfinite(cand)
             take = cand_valid & ~found
@@ -201,9 +210,9 @@ def _first_valid_along_rays(
             return (found, val, col), None
 
         init = (
-            jnp.zeros((h, w), bool),
-            jnp.zeros((h, w), jnp.float32),
-            jnp.zeros((h, w, 3), jnp.int32),
+            jnp.zeros((r, w), bool),
+            jnp.zeros((r, w), jnp.float32),
+            jnp.zeros((r, w, 3), jnp.int32),
         )
         (found, val, col), _ = jax.lax.scan(step, init, ray_offsets)
         return found, val, col
@@ -218,41 +227,56 @@ def proper_interpolation(
     mismatch: jnp.ndarray,
     opts: ADCensusOptions,
 ) -> jnp.ndarray:
-    """16-ray interpolation fill (multistep_refiner.cpp:229-305).
+    """Single-device wrapper: both phases over the full map."""
+    mism_target = mismatch & ~jnp.isfinite(disp)
+    fill_m = interpolation_fills(disp, left, opts, True)
+    disp = jnp.where(mism_target, fill_m, disp)
+    occl_target = occlusion & ~jnp.isfinite(disp)
+    fill_o = interpolation_fills(disp, left, opts, False)
+    return jnp.where(occl_target, fill_o, disp)
+
+
+def interpolation_fills(
+    disp: jnp.ndarray,
+    left: jnp.ndarray,
+    opts: ADCensusOptions,
+    is_mismatch: bool,
+    row_offset: int = 0,
+    out_rows: int | None = None,
+) -> jnp.ndarray:
+    """16-ray interpolation fill values (multistep_refiner.cpp:229-305)
+    for rows [row_offset, row_offset + out_rows) of ``disp``.
 
     Mismatches: disparity of the ray hit with the closest color (sum of
     absolute channel differences, first minimum in ray order). Occlusions:
     minimum collected disparity. No hit -> fill 0.0 (the reference's
-    zero-initialized fill_disps). Mismatch fills are written before the
-    occlusion ray search, matching the reference's phase order. Within a
-    phase, fills do not see each other — the reference computes all fills
-    of a phase before writing them too (two-phase, multistep_refiner.cpp:244),
-    so phases are exact up to map state at phase start.
+    zero-initialized fill_disps). The caller writes mismatch fills before
+    computing occlusion fills, matching the reference's phase order;
+    within a phase the reference also computes all fills before writing
+    (two-phase, multistep_refiner.cpp:244), so phases are exact up to map
+    state at phase start.
     """
+    h = disp.shape[0]
+    r = h - row_offset if out_rows is None else out_rows
     max_search = max(abs(opts.max_disparity), abs(opts.min_disparity))
     offsets = jnp.asarray(ray_offset_table(max_search))
     pad = int(max_search) + 1
-    center_col = left.astype(jnp.int32)
-
-    def fill_phase(disp, target, is_mismatch):
-        found, val, col = _first_valid_along_rays(disp, left, offsets, pad)
-        if is_mismatch:
-            dist = jnp.sum(jnp.abs(col - center_col[None]), axis=-1)
-            dist = jnp.where(found, dist, 10**9)
-            ray = jnp.argmin(dist, axis=0)  # first minimum in ray order
-            fill_val = jnp.take_along_axis(val, ray[None], axis=0)[0]
-        else:
-            vals = jnp.where(found, val, LARGE_FLOAT)
-            fill_val = jnp.min(vals, axis=0)
-        any_found = jnp.any(found, axis=0)
-        fill_val = jnp.where(any_found, fill_val, 0.0)
-        return jnp.where(target, fill_val, disp)
-
-    mism_target = mismatch & ~jnp.isfinite(disp)
-    disp = fill_phase(disp, mism_target, True)
-    occl_target = occlusion & ~jnp.isfinite(disp)
-    disp = fill_phase(disp, occl_target, False)
-    return disp
+    center_col = jax.lax.dynamic_slice_in_dim(
+        left.astype(jnp.int32), row_offset, r, axis=0
+    )
+    found, val, col = _first_valid_along_rays(
+        disp, left, offsets, pad, row_offset, r
+    )
+    if is_mismatch:
+        dist = jnp.sum(jnp.abs(col - center_col[None]), axis=-1)
+        dist = jnp.where(found, dist, 10**9)
+        ray = jnp.argmin(dist, axis=0)  # first minimum in ray order
+        fill_val = jnp.take_along_axis(val, ray[None], axis=0)[0]
+    else:
+        vals = jnp.where(found, val, LARGE_FLOAT)
+        fill_val = jnp.min(vals, axis=0)
+    any_found = jnp.any(found, axis=0)
+    return jnp.where(any_found, fill_val, 0.0)
 
 
 def edge_detect(disp: jnp.ndarray, threshold: float = 5.0) -> jnp.ndarray:
@@ -313,26 +337,36 @@ def depth_discontinuity_adjustment(
     return out_d
 
 
-def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
+def median_filter_3x3(
+    disp: jnp.ndarray, in_image: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Out-of-place 3x3 median with border-clipped windows
-    (adcensus_util.cpp:55-81). Out-of-bounds slots are +inf, which sorts
-    last; the median index is (window population) // 2.
+    (adcensus_util.cpp:55-81). Out-of-image slots are +inf, which sorts
+    last; the median index is (in-image window population) // 2 — note
+    invalid (inf) disparities *inside* the image still count toward the
+    population, exactly like the reference's clipped window.
+
+    ``in_image``: optional (H, W) bool marking real pixels when the map is
+    padded (sharded pipeline); defaults to the whole array.
 
     Deviation: the reference calls this with in == out so its reads mix
     filtered and unfiltered neighbors (raster-order dependent); the dense
     out-of-place result differs slightly and is gated by bad-2.0.
     """
     h, w = disp.shape
+    if in_image is None:
+        in_image = jnp.ones((h, w), bool)
+    masked = jnp.where(in_image, disp, jnp.inf)
     stack = []
     counts = jnp.zeros((h, w), jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            stack.append(shift2d(disp, -dy, -dx, jnp.inf))
+            stack.append(shift2d(masked, -dy, -dx, jnp.inf))
             counts = counts + shift2d(
-                jnp.ones((h, w), jnp.int32), -dy, -dx, 0
+                in_image.astype(jnp.int32), -dy, -dx, 0
             )
     s = jnp.sort(jnp.stack(stack, axis=0), axis=0)
-    idx = (counts // 2)[None]
+    idx = (jnp.maximum(counts, 1) // 2)[None]
     return jnp.take_along_axis(s, idx, axis=0)[0]
 
 

@@ -10,7 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS=axon (the TPU tunnel) and a
+# sitecustomize hook registers that backend at interpreter start, so env
+# vars alone don't win — force the platform via jax.config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
