@@ -62,10 +62,31 @@ def main() -> None:
     ap.add_argument("--pair", help="bundled pair name (Cone/Cloth3/Wood2/Piano)")
     ap.add_argument("--out", help="output prefix (default: left image path)")
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument(
+        "--timing",
+        action="store_true",
+        help="run stage-by-stage with device fences and print per-stage "
+        "seconds + Mpix*disp/s (the reference's per-stage printf, "
+        "ADCensusStereo.cpp:81-129, done the TPU way)",
+    )
+    ap.add_argument(
+        "--dump-stages",
+        metavar="PATH.npz",
+        help="save every intermediate volume/map to an npz for debugging",
+    )
+    ap.add_argument(
+        "--cloud",
+        metavar="PATH.txt",
+        help="save a point cloud (x,y,d,r,g,b) like SaveDisparityCloud "
+        "(main.cpp:212-230)",
+    )
     args = ap.parse_args()
 
     if args.pair:
-        pair = get_pair(args.pair)
+        try:
+            pair = get_pair(args.pair)
+        except ValueError as e:
+            ap.error(str(e))
         left, right, gt = pair.load()
         opts = ADCensusOptions(
             min_disparity=pair.dmin, max_disparity=pair.dmax
@@ -85,7 +106,26 @@ def main() -> None:
         raise SystemExit("left/right image sizes differ")
     if not args.no_save:
         os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
-    run_pair(left, right, opts, None if args.no_save else prefix, gt)
+
+    if args.timing or args.dump_stages:
+        from adcensus_tpu.utils.profiling import match_staged
+
+        res = match_staged(left, right, opts, dump_path=args.dump_stages)
+        for k, t in res["timings"].items():
+            thr = res["throughput"].get(k, 0.0)
+            print(f"{k:>12}: {t * 1000:8.2f} ms   {thr:9.1f} Mpix*disp/s")
+        disp = res["disparity"]
+        print(json.dumps(evaluate(disp, gt), indent=2))
+        if not args.no_save:
+            save_disparity_map(disp, prefix)
+    else:
+        disp, _, _ = run_pair(
+            left, right, opts, None if args.no_save else prefix, gt
+        )
+    if args.cloud:
+        from adcensus_tpu.io.image import save_disparity_cloud
+
+        save_disparity_cloud(left, disp, args.cloud)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,11 @@ _PAIR_FILES = {
 
 
 def get_pair(name: str, data_root: str = "/root/reference/Data") -> StereoPair:
+    if name not in _PAIR_FILES:
+        raise ValueError(
+            f"unknown pair {name!r}; bundled pairs: "
+            + ", ".join(sorted(_PAIR_FILES))
+        )
     lf, rf, gf, scale = _PAIR_FILES[name]
     base = os.path.join(data_root, name)
     dmin, dmax = load_d_range(os.path.join(base, "d_range.txt"))

@@ -426,8 +426,13 @@ def match_sharded_batched(
     body = functools.partial(
         _pair_body, opts=opts, dims=dims, use_pallas=use_pallas
     )
+    # batch axis = lax.map loop per shard (NOT vmap: vmap-of-pallas
+    # miscompiled on TPU — see pipeline.match_batched_device)
+    def mapped(ls, rs, gls, grs):
+        return jax.lax.map(lambda t: body(*t), (ls, rs, gls, grs))
+
     disp_p = jax.shard_map(
-        jax.vmap(body),
+        mapped,
         mesh=mesh,
         in_specs=(P("data"),) * 4,
         out_specs=P("data", "tile", None),

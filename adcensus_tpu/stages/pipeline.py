@@ -72,6 +72,22 @@ match_core_jit = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("opts", "use_pallas"))
+def match_device(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    opts: ADCensusOptions,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Single-dispatch pipeline: gray conversion happens inside the jit, so
+    one host->device call produces the disparity map (the hot path for
+    streaming/serving; ``match`` adds host conversions around it)."""
+    gray_l = cost_stage.compute_gray(left)
+    gray_r = cost_stage.compute_gray(right)
+    return match_core(left, right, gray_l, gray_r, opts,
+                      use_pallas=use_pallas)["disparity"]
+
+
 def match(
     left: np.ndarray,
     right: np.ndarray,
@@ -92,6 +108,11 @@ def match(
     if gray_mode == "host64":
         gray_l = cost_stage.compute_gray_host64(left)
         gray_r = cost_stage.compute_gray_host64(right)
+    elif not return_intermediates:
+        disp = match_device(
+            jnp.asarray(left), jnp.asarray(right), opts, use_pallas
+        )
+        return {"disparity": np.asarray(disp)}
     else:
         gray_l = cost_stage.compute_gray(jnp.asarray(left))
         gray_r = cost_stage.compute_gray(jnp.asarray(right))
@@ -107,6 +128,33 @@ def match(
     return {k: np.asarray(v) for k, v in res.items()}
 
 
+@partial(jax.jit, static_argnames=("opts", "use_pallas"))
+def match_batched_device(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    opts: ADCensusOptions,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Batched single-dispatch pipeline: (B, H, W, 3) uint8 stacks ->
+    (B, H, W) disparities, gray conversion on device.
+
+    Pairs run sequentially inside one dispatch (``lax.map``), which
+    amortizes host dispatch latency while keeping volume memory at 1x.
+    (One pair already saturates the chip, and vmap-of-pallas miscompiled
+    at B=8 on TPU — observed 42-disparity errors — so the batch axis is
+    deliberately a loop, not a vector axis.)"""
+
+    def one(pair):
+        l, r = pair
+        gl = cost_stage.compute_gray(l)
+        gr = cost_stage.compute_gray(r)
+        return match_core(l, r, gl, gr, opts, use_pallas=use_pallas)[
+            "disparity"
+        ]
+
+    return jax.lax.map(one, (lefts, rights))
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def match_batched(
     lefts: jnp.ndarray,
@@ -115,9 +163,12 @@ def match_batched(
     grays_r: jnp.ndarray,
     opts: ADCensusOptions,
 ) -> jnp.ndarray:
-    """Batched pipeline over (B, H, W, 3) stacks -> (B, H, W) disparities."""
+    """Batched pipeline over (B, H, W, 3) stacks -> (B, H, W) disparities
+    (precomputed grays; see match_batched_device for why the batch axis
+    is a lax.map loop rather than vmap)."""
 
-    def one(l, r, gl, gr):
+    def one(args):
+        l, r, gl, gr = args
         return match_core(l, r, gl, gr, opts)["disparity"]
 
-    return jax.vmap(one)(lefts, rights, grays_l, grays_r)
+    return jax.lax.map(one, (lefts, rights, grays_l, grays_r))

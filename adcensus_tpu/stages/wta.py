@@ -11,8 +11,17 @@ reference's asymmetric edge cases:
   (ADCensusStereo.cpp:290-293).
 * zero parabola curvature falls back to the integer disparity;
 * ties break to the smallest disparity (first minimum).
+
+TPU formulation: instead of argmin + take_along_axis (TPU gathers are
+slow) the winner, its cost, and its two neighbor costs are tracked in a
+single running scan over the D planes — one fused elementwise pass over
+the volume, no gathers, and the right view's plane shift (a static
+pad/slice per plane) folds into the same pass, so both disparity maps
+cost one volume read total.
 """
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax.numpy as jnp
 
@@ -20,17 +29,30 @@ from adcensus_tpu.config import ADCensusOptions, INVALID_FLOAT, LARGE_FLOAT
 from adcensus_tpu.ops.basic import shift2d
 
 
-def _subpixel(
-    cost: jnp.ndarray, best: jnp.ndarray, opts: ADCensusOptions
-) -> jnp.ndarray:
-    """Parabola refinement d* = d + (c1 - c2) / (2 (c1 + c2 - 2 c_min))
-    (ADCensusStereo.cpp:228-240). ``cost`` is (D, H, W); ``best`` (H, W)
-    int32 plane indices (0-based)."""
-    d_range = cost.shape[0]
-    b = best[None]
-    c_min = jnp.take_along_axis(cost, b, axis=0)[0]
-    c1 = jnp.take_along_axis(cost, jnp.clip(b - 1, 0, d_range - 1), axis=0)[0]
-    c2 = jnp.take_along_axis(cost, jnp.clip(b + 1, 0, d_range - 1), axis=0)[0]
+def _running_wta(planes) -> Tuple[jnp.ndarray, ...]:
+    """Scan a sequence of (H, W) cost planes; return (best, c_min, c1, c2)
+    where c1/c2 are the planes just below/above the winner (garbage when
+    the winner is the first/last plane — callers discard those)."""
+    first = planes[0]
+    best = jnp.zeros(first.shape, jnp.int32)
+    c_min = jnp.full(first.shape, LARGE_FLOAT, jnp.float32)
+    c1 = jnp.zeros_like(first)
+    c2 = jnp.zeros_like(first)
+    prev = first
+    for di, c in enumerate(planes):
+        # neighbor-above of the current winner (uses the *old* best)
+        c2 = jnp.where(best == di - 1, c, c2)
+        is_new = c < c_min
+        best = jnp.where(is_new, di, best)
+        c1 = jnp.where(is_new, prev, c1)
+        c_min = jnp.where(is_new, c, c_min)
+        prev = c
+    return best, c_min, c1, c2
+
+
+def _parabola(best, c_min, c1, c2, opts: ADCensusOptions) -> jnp.ndarray:
+    """d* = d + (c1 - c2) / (2 (c1 + c2 - 2 c_min))
+    (ADCensusStereo.cpp:228-240)."""
     denom = c1 + c2 - 2 * c_min
     best_d = (best + opts.min_disparity).astype(jnp.float32)
     return jnp.where(
@@ -42,40 +64,46 @@ def _subpixel(
 
 def wta_left(cost: jnp.ndarray, opts: ADCensusOptions) -> jnp.ndarray:
     """(D, H, W) volume -> (H, W) float32 left disparity."""
-    best = jnp.argmin(cost, axis=0).astype(jnp.int32)  # first minimum
-    disp = _subpixel(cost, best, opts)
     d_range = cost.shape[0]
+    best, c_min, c1, c2 = _running_wta([cost[d] for d in range(d_range)])
+    disp = _parabola(best, c_min, c1, c2, opts)
     border = (best == 0) | (best == d_range - 1)
     return jnp.where(border, INVALID_FLOAT, disp)
+
+
+def _right_planes(cost: jnp.ndarray, opts: ADCensusOptions):
+    """cost_r(d, y, x) = cost_l(d, y, x + d) with d the true disparity
+    (plane index + min_disparity); Large_Float out of range
+    (ADCensusStereo.cpp:277-286). Static shift per plane — fused
+    pad/slice ops instead of a (slow) TPU gather."""
+    return [
+        shift2d(cost[di], 0, -(di + opts.min_disparity), LARGE_FLOAT)
+        for di in range(cost.shape[0])
+    ]
 
 
 def right_cost_volume(
     cost: jnp.ndarray, opts: ADCensusOptions
 ) -> jnp.ndarray:
-    """cost_r(d, y, x) = cost_l(d, y, x + d) with d the true disparity
-    (plane index + min_disparity); Large_Float out of range
-    (ADCensusStereo.cpp:277-286).
-
-    Each plane is a *static* shift of the corresponding left plane —
-    compiled to fused pad/slice ops instead of a (slow) TPU gather.
-    """
-    d_range, h, w = cost.shape
-    planes = []
-    for di in range(d_range):
-        d = di + opts.min_disparity
-        # out[y, x] = cost[di, y, x + d]  ->  shift by -d along x
-        planes.append(shift2d(cost[di], 0, -d, LARGE_FLOAT))
-    return jnp.stack(planes, axis=0)
+    """Materialized right volume (kept for tests/debugging; the WTA path
+    never builds it)."""
+    return jnp.stack(_right_planes(cost, opts), axis=0)
 
 
 def wta_right(cost: jnp.ndarray, opts: ADCensusOptions) -> jnp.ndarray:
     """(D, H, W) *left* volume -> (H, W) float32 right disparity."""
-    cost_r = right_cost_volume(cost, opts)
-    best = jnp.argmin(cost_r, axis=0).astype(jnp.int32)
-    disp = _subpixel(cost_r, best, opts)
     d_range = cost.shape[0]
+    best, c_min, c1, c2 = _running_wta(_right_planes(cost, opts))
+    disp = _parabola(best, c_min, c1, c2, opts)
     border = (best == 0) | (best == d_range - 1)
     # border winners stay valid with their integer disparity
     return jnp.where(
         border, (best + opts.min_disparity).astype(jnp.float32), disp
     )
+
+
+def wta_both(
+    cost: jnp.ndarray, opts: ADCensusOptions
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both disparity maps in one fused pass over the volume."""
+    return wta_left(cost, opts), wta_right(cost, opts)
