@@ -300,45 +300,44 @@ def _pair_body(left, right, gray_l, gray_r,
     if opts.do_filling:
         # iterative region voting with row halos
         arms_vote = rows(arms, r0, h_local + 2 * halo)
-        ones_sup = jnp.ones(
-            (h_local + 2 * halo, wp), jnp.float32
-        )
         d_range = opts.disp_range
         from adcensus_tpu.ops.basic import lround as _lround
+        from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
+
+        def vote_phase(disp, target):
+            # histogram runs on the haloed slab so regions crossing the
+            # shard edge see their full support
+            dpad = _halo_rows(disp, halo, axis=0)
+            valid = jnp.isfinite(dpad)
+            di = jnp.clip(
+                _lround(jnp.where(valid, dpad, 0.0))
+                - opts.min_disparity,
+                0,
+                d_range - 1,
+            ).astype(jnp.int32)
+            best, max_ht, count = region_vote_stats(
+                di, valid, arms_vote, d_range, halo,
+                use_pallas=use_pallas,
+            )
+            best = best[halo : halo + h_local]
+            max_ht = max_ht[halo : halo + h_local]
+            count = count[halo : halo + h_local]
+            ratio_ok = (
+                max_ht.astype(jnp.float32) / count.astype(jnp.float32)
+            ) > jnp.float32(opts.irv_th)
+            fill = (
+                target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
+            )
+            return jnp.where(
+                fill,
+                (best + opts.min_disparity).astype(jnp.float32),
+                disp,
+            )
 
         for _ in range(5):
             for phase_mask in (mism, occl):
                 target = phase_mask & ~jnp.isfinite(disp)
-                dpad = _halo_rows(disp, halo, axis=0)
-                valid = jnp.isfinite(dpad)
-                di = jnp.clip(
-                    _lround(jnp.where(valid, dpad, 0.0))
-                    - opts.min_disparity,
-                    0,
-                    d_range - 1,
-                )
-                onehot = (
-                    (di[None] == jnp.arange(d_range)[:, None, None])
-                    & valid[None]
-                ).astype(jnp.float32)
-                hist = cross_pass(
-                    onehot, arms_vote, ones_sup, True, halo,
-                    normalize=False, use_pallas=use_pallas,
-                ).astype(jnp.int32)[:, halo : halo + h_local]
-                max_ht = jnp.max(hist, axis=0)
-                best = jnp.argmax(hist, axis=0).astype(jnp.int32)
-                count = jnp.sum(hist, axis=0)
-                ratio_ok = (
-                    max_ht.astype(jnp.float32) / count.astype(jnp.float32)
-                ) > jnp.float32(opts.irv_th)
-                fill = (
-                    target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
-                )
-                disp = jnp.where(
-                    fill,
-                    (best + opts.min_disparity).astype(jnp.float32),
-                    disp,
-                )
+                disp = vote_phase(disp, target)
 
         # proper interpolation: all-gather the (small) disparity map,
         # compute ray fills for own rows only

@@ -91,32 +91,53 @@ def _region_histogram_stats(
 
     Returns (best_disp_index, max_ht, count), each (H, W) int32.
     """
+    from adcensus_tpu.config import MAX_ARM_LENGTH
+    from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
+
     d_range = opts.disp_range
     valid = jnp.isfinite(disp)
     di = jnp.clip(
         lround(jnp.where(valid, disp, 0.0)) - opts.min_disparity,
         0,
         d_range - 1,
-    )
-    onehot_bool = (
-        di[None] == jnp.arange(d_range)[:, None, None]
-    ) & valid[None]
-    from adcensus_tpu.config import MAX_ARM_LENGTH
-    from adcensus_tpu.ops.cross_sum_pallas import cross_pass
-
-    hist = cross_pass(
-        onehot_bool.astype(jnp.float32),
-        arms,
-        jnp.ones(disp.shape, jnp.float32),
-        horizontal_first=True,
-        max_arm=min(opts.cross_L1, MAX_ARM_LENGTH),
-        normalize=False,
-        use_pallas=use_pallas,
     ).astype(jnp.int32)
-    max_ht = jnp.max(hist, axis=0)
-    best = jnp.argmax(hist, axis=0).astype(jnp.int32)  # first maximum
-    count = jnp.sum(hist, axis=0)
-    return best, max_ht, count
+    return region_vote_stats(
+        di,
+        valid,
+        arms,
+        d_range,
+        min(opts.cross_L1, MAX_ARM_LENGTH),
+        use_pallas=use_pallas,
+    )
+
+
+def region_vote_phase(
+    disp: jnp.ndarray,
+    arms: jnp.ndarray,
+    target: jnp.ndarray,
+    opts: ADCensusOptions,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """One voting phase: fill ``target`` pixels whose region histogram
+    passes the ts/th thresholds (multistep_refiner.cpp:199-214). The
+    expensive histogram is skipped entirely (lax.cond) when no targets
+    remain — by then every later phase is a no-op by definition."""
+
+    def do_phase(disp):
+        best, max_ht, count = _region_histogram_stats(
+            disp, arms, opts, use_pallas
+        )
+        ratio_ok = (
+            max_ht.astype(jnp.float32) / count.astype(jnp.float32)
+        ) > jnp.float32(opts.irv_th)
+        fill = target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
+        return jnp.where(
+            fill,
+            (best + opts.min_disparity).astype(jnp.float32),
+            disp,
+        )
+
+    return jax.lax.cond(jnp.any(target), do_phase, lambda d: d, disp)
 
 
 def iterative_region_voting(
@@ -129,26 +150,15 @@ def iterative_region_voting(
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """5 iterations x (mismatches, then occlusions) of dense histogram
-    voting (multistep_refiner.cpp:153-227)."""
+    voting (multistep_refiner.cpp:153-227). Each phase short-circuits
+    via region_vote_phase's no-targets-left lax.cond (an iteration-level
+    converged-early gate was measured to cost more than it saves: the
+    outlier set rarely empties within 5 iterations)."""
     for _ in range(num_iters):
         for phase_mask in (mismatch, occlusion):
             target = phase_mask & ~jnp.isfinite(disp)
-            best, max_ht, count = _region_histogram_stats(
-                disp, arms, opts, use_pallas
-            )
-            ratio_ok = (
-                max_ht.astype(jnp.float32) / count.astype(jnp.float32)
-            ) > jnp.float32(opts.irv_th)
-            fill = (
-                target
-                & (max_ht > 0)
-                & (count > opts.irv_ts)
-                & ratio_ok
-            )
-            disp = jnp.where(
-                fill,
-                (best + opts.min_disparity).astype(jnp.float32),
-                disp,
+            disp = region_vote_phase(
+                disp, arms, target, opts, use_pallas
             )
     return disp
 

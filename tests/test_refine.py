@@ -119,3 +119,30 @@ def test_full_refine_close(small_pair, small_opts, oracle_result):
     # fill/median boundary pixels, and then by small magnitudes
     assert (d <= 0.5).mean() > 0.95
     assert (d <= 2.0).mean() > 0.99
+
+
+def test_region_vote_kernel_matches_jnp(small_opts, oracle_result):
+    """Pallas voting-stats kernel (interpret mode on CPU) == the one-hot
+    jnp mirror, including first-maximum tie-breaks and empty regions."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.config import MAX_ARM_LENGTH
+    from adcensus_tpu.ops.basic import lround
+    from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
+
+    arms = jnp.asarray(oracle_result["arms"].astype(np.int32))
+    disp = jnp.asarray(oracle_result["after_lr_check"])
+    d_range = small_opts.disp_range
+    valid = jnp.isfinite(disp)
+    di = jnp.clip(
+        lround(jnp.where(valid, disp, 0.0)) - small_opts.min_disparity,
+        0,
+        d_range - 1,
+    ).astype(jnp.int32)
+    max_arm = min(small_opts.cross_L1, MAX_ARM_LENGTH)
+    ref = region_vote_stats(di, valid, arms, d_range, max_arm,
+                            use_pallas=False)
+    out = region_vote_stats(di, valid, arms, d_range, max_arm,
+                            use_pallas=True)  # interpret mode on CPU
+    for a, b, name in zip(out, ref, ("best", "max_ht", "count")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)

@@ -1,0 +1,112 @@
+"""Scaling-efficiency report: Mpix*disp/s of the sharded pipeline at
+1..N-way row tiling (and batched pairs over the data axis when the
+device count allows), per BASELINE.json's "scaling efficiency at 1 chip,
+1 host, N>=2 hosts" requirement.
+
+On real hardware run under the pod's launcher after
+``adcensus_tpu.parallel.distributed.initialize()``; on a dev box use
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_report.py --pair Cone --tiles 1 2 4 8
+(virtual CPU devices share one socket, so virtual numbers validate the
+communication structure, not speedup).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pair", default="Cone")
+    ap.add_argument("--tiles", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual mesh)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.io.image import get_pair
+    from adcensus_tpu.parallel.mesh import make_mesh
+    from adcensus_tpu.parallel.sharded import match_sharded
+    from adcensus_tpu.stages import cost as cost_stage
+
+    pair = get_pair(args.pair)
+    left, right, _ = pair.load()
+    h, w, _ = left.shape
+    opts = ADCensusOptions(
+        min_disparity=pair.dmin, max_disparity=pair.dmax
+    )
+    work = h * w * opts.disp_range
+    gl = cost_stage.compute_gray_host64(left)
+    gr = cost_stage.compute_gray_host64(right)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    gl, gr = jnp.asarray(gl), jnp.asarray(gr)
+
+    n_dev = len(jax.devices())
+    rows = []
+    base = None
+    for nt in args.tiles:
+        if nt > n_dev:
+            print(f"# skip tile={nt}: only {n_dev} devices")
+            continue
+        mesh = make_mesh(n_data=1, n_tile=nt)
+        out = match_sharded(l, r, gl, gr, opts, mesh)
+        np.asarray(out)  # compile + true fence
+        t0 = time.perf_counter()
+        outs = [
+            match_sharded(l, r, gl, gr, opts, mesh)
+            for _ in range(args.iters)
+        ]
+        np.asarray(outs[-1])
+        dt = (time.perf_counter() - t0) / args.iters
+        mpixd = work / dt / 1e6
+        if base is None:
+            base = (nt, mpixd)
+        eff = mpixd / (base[1] * nt / base[0])
+        rows.append(
+            {
+                "tiles": nt,
+                "seconds": round(dt, 4),
+                "mpixd_per_s": round(mpixd, 2),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    print(
+        json.dumps(
+            {
+                "pair": args.pair,
+                "backend": jax.default_backend(),
+                "devices": n_dev,
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
