@@ -54,6 +54,9 @@ def run_pair(
 
 
 def main() -> None:
+    from adcensus_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("left", nargs="?", help="left image path")
     ap.add_argument("right", nargs="?", help="right image path")
@@ -88,9 +91,15 @@ def main() -> None:
         except ValueError as e:
             ap.error(str(e))
         left, right, gt = pair.load()
-        opts = ADCensusOptions(
-            min_disparity=pair.dmin, max_disparity=pair.dmax
-        )
+        # with --pair the two leading positionals (if present) are the
+        # disparity range, overriding the bundled d_range.txt:
+        #   cli --pair Piano 0 256
+        try:
+            dmin = int(args.left) if args.left is not None else pair.dmin
+            dmax = int(args.right) if args.right is not None else pair.dmax
+        except ValueError:
+            ap.error("--pair takes an optional MIN_DISP MAX_DISP override")
+        opts = ADCensusOptions(min_disparity=dmin, max_disparity=dmax)
         prefix = args.out or os.path.join("out", pair.name)
     else:
         if not (args.left and args.right):

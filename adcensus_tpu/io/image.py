@@ -18,7 +18,18 @@ from adcensus_tpu.config import INVALID_FLOAT
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Load an image as (H, W, 3) uint8 RGB."""
+    """Load an image as (H, W, 3) uint8 RGB (native C++ codec first,
+    PIL fallback for exotic PNG flavors / non-PNG formats)."""
+    from adcensus_tpu.io import native_png
+
+    if path.lower().endswith(".png"):
+        img = native_png.decode(path)
+        if img is not None:
+            if img.ndim == 2:
+                img = np.repeat(
+                    img.astype(np.uint8)[..., None], 3, axis=-1
+                )
+            return img
     return np.array(Image.open(path).convert("RGB"))
 
 
@@ -28,7 +39,16 @@ def load_gt_disparity(path: str, scale: float) -> np.ndarray:
     Middlebury GT disparities are stored scaled (Cone: x4, Cloth3/Wood2: x3);
     0 marks unknown pixels, returned as NaN.
     """
-    raw = np.array(Image.open(path)).astype(np.float32)
+    from adcensus_tpu.io import native_png
+
+    raw = None
+    if path.lower().endswith(".png"):
+        raw = native_png.decode(path)
+        if raw is not None and raw.ndim == 3:
+            raw = raw[..., 0]
+    if raw is None:
+        raw = np.array(Image.open(path))
+    raw = raw.astype(np.float32)
     gt = raw / scale
     gt[raw == 0] = np.nan
     return gt
@@ -77,11 +97,18 @@ def colorize_disparity(disp: np.ndarray) -> np.ndarray:
     return _JET[normalize_disparity_u8(disp)]
 
 
+def _save_png(img: np.ndarray, path: str) -> None:
+    from adcensus_tpu.io import native_png
+
+    if not native_png.encode(img, path):
+        Image.fromarray(img).save(path)
+
+
 def save_disparity_map(disp: np.ndarray, path_prefix: str) -> None:
     """Save gray + JET-colormap PNGs, mirroring SaveDisparityMap
     (main.cpp:180-210)."""
-    Image.fromarray(normalize_disparity_u8(disp)).save(path_prefix + "-d.png")
-    Image.fromarray(colorize_disparity(disp)).save(path_prefix + "-c.png")
+    _save_png(normalize_disparity_u8(disp), path_prefix + "-d.png")
+    _save_png(colorize_disparity(disp), path_prefix + "-c.png")
 
 
 def save_disparity_cloud(
