@@ -45,6 +45,10 @@ def _masked_roll_sum(p, lo_arm, hi_arm, axis, max_arm):
     """
     n = p.shape[axis]
     zero = jnp.zeros_like(p)
+    # NOTE: arms arrive as int8 refs and are widened to int32 by the
+    # caller one pass at a time (2 planes live, not 4) — int8 compares
+    # are unsupported by Mosaic ("Target does not support this
+    # comparison") and widening all 4 up front OOM'd 555x653 planes.
 
     def neg_body(i, carry):
         acc, rolled = carry
@@ -73,20 +77,36 @@ def _cross_pass_kernel(
     al_ref, ar_ref, at_ref, ab_ref, sup_ref, plane_ref, out_ref,
     *, horizontal_first: bool, max_arm: int, normalize: bool,
 ):
-    p = plane_ref[0]
-    al = al_ref[:].astype(jnp.int32)
-    ar = ar_ref[:].astype(jnp.int32)
-    at = at_ref[:].astype(jnp.int32)
-    ab = ab_ref[:].astype(jnp.int32)
+    # block is (K, H, W): K d-planes share each offset's arm compare
+    # (masks broadcast over the leading axis), so the per-t cost drops
+    # from 4 ops/plane to ~3 + 1/K. K == 1 keeps the rank-2 body —
+    # rank-3 rolls cost Mosaic extra VMEM copies (observed scoped-vmem
+    # OOM on 555x653 planes that fit fine in rank-2).
+    k = plane_ref.shape[0]
+    p = plane_ref[0] if k == 1 else plane_ref[:]
+    ax = 0 if k == 1 else 1
+    def h32():
+        return al_ref[:].astype(jnp.int32), ar_ref[:].astype(jnp.int32)
+
+    def v32():
+        return at_ref[:].astype(jnp.int32), ab_ref[:].astype(jnp.int32)
+
     if horizontal_first:
-        tmp = _masked_roll_sum(p, al, ar, axis=1, max_arm=max_arm)
-        res = _masked_roll_sum(tmp, at, ab, axis=0, max_arm=max_arm)
+        al, ar = h32()
+        tmp = _masked_roll_sum(p, al, ar, axis=ax + 1, max_arm=max_arm)
+        at, ab = v32()  # widened after al/ar die: 2 int32 planes live
+        res = _masked_roll_sum(tmp, at, ab, axis=ax, max_arm=max_arm)
     else:
-        tmp = _masked_roll_sum(p, at, ab, axis=0, max_arm=max_arm)
-        res = _masked_roll_sum(tmp, al, ar, axis=1, max_arm=max_arm)
+        at, ab = v32()
+        tmp = _masked_roll_sum(p, at, ab, axis=ax, max_arm=max_arm)
+        al, ar = h32()
+        res = _masked_roll_sum(tmp, al, ar, axis=ax + 1, max_arm=max_arm)
     if normalize:
         res = res / sup_ref[:]
-    out_ref[0] = res
+    if k == 1:
+        out_ref[0] = res
+    else:
+        out_ref[:] = res
 
 
 def _masked_roll_sum_jnp(p, lo_arm, hi_arm, axis, max_arm):
@@ -158,7 +178,8 @@ def cross_pass(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("horizontal_first", "max_arm", "normalize"),
+    static_argnames=("horizontal_first", "max_arm", "normalize",
+                     "k_planes"),
 )
 def _cross_pass_pallas(
     vol: jnp.ndarray,
@@ -167,8 +188,17 @@ def _cross_pass_pallas(
     horizontal_first: bool,
     max_arm: int,
     normalize: bool = True,
+    k_planes: int | None = None,
 ) -> jnp.ndarray:
     d, h, w = vol.shape
+    # K d-planes per grid step; rank-3 blocks cost Mosaic extra VMEM
+    # copies, so K>1 only with headroom. Empirically calibrated on the
+    # 16 MB-VMEM chip: a 2.7 MB (4, 375, 450) f32 block compiles and is
+    # ~20% faster than K=1; a rank-3 555x653 block OOMs even at K=1
+    # (hence the rank-2 K==1 body).
+    k = k_planes or (
+        2 if d % 2 == 0 and 2 * h * w * 4 <= 1.4e6 else 1
+    )
     arm_plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _cross_pass_kernel,
@@ -178,14 +208,14 @@ def _cross_pass_pallas(
     )
     return pl.pallas_call(
         kernel,
-        grid=(d,),
+        grid=(d // k,),
         in_specs=[
             arm_plane, arm_plane, arm_plane, arm_plane, arm_plane,
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((d, h, w), jnp.float32),
         interpret=_use_interpret(),

@@ -72,38 +72,54 @@ def _masked_roll_sum_i32(p, lo_arm, hi_arm, axis, max_arm):
 
 def _region_vote_kernel(
     di_ref, valid_ref, al_ref, ar_ref, at_ref, ab_ref, out_ref,
-    *, max_arm: int,
+    *, max_arm: int, k_planes: int,
 ):
     step = pl.program_id(0)
-    d0 = 2 * step
     di = di_ref[:]
     v = valid_ref[:]
-    al = al_ref[:].astype(jnp.int32)
-    ar = ar_ref[:].astype(jnp.int32)
-    at = at_ref[:].astype(jnp.int32)
-    ab = ab_ref[:].astype(jnp.int32)
+    # arms widened one pass at a time (int8 compares are unsupported by
+    # Mosaic; widening all four up front wastes VMEM)
 
-    lo_bit = ((di == d0) & (v > 0)).astype(jnp.int32)
-    hi_bit = ((di == d0 + 1) & (v > 0)).astype(jnp.int32)
-    packed = lo_bit + (hi_bit << 16)
+    # K packed planes per step (2 disparities each) so the per-offset
+    # arm compares are shared across 2K disparities. K == 1 keeps a
+    # rank-2 body (rank-3 rolls cost Mosaic extra VMEM copies).
+    planes = []
+    for j in range(k_planes):
+        d0 = 2 * (step * k_planes + j)
+        lo_bit = ((di == d0) & (v > 0)).astype(jnp.int32)
+        hi_bit = ((di == d0 + 1) & (v > 0)).astype(jnp.int32)
+        planes.append(lo_bit + (hi_bit << 16))
+    if k_planes == 1:
+        packed = planes[0]
+        ax = 0
+    else:
+        packed = jnp.stack(planes, axis=0)  # (K, H, W)
+        ax = 1
 
     # horizontal-first support region (multistep_refiner.cpp:183-197)
-    tmp = _masked_roll_sum_i32(packed, al, ar, axis=1, max_arm=max_arm)
-    res = _masked_roll_sum_i32(tmp, at, ab, axis=0, max_arm=max_arm)
-    lo = res & 0xFFFF
-    hi = res >> 16
+    al = al_ref[:].astype(jnp.int32)
+    ar = ar_ref[:].astype(jnp.int32)
+    tmp = _masked_roll_sum_i32(packed, al, ar, axis=ax + 1, max_arm=max_arm)
+    at = at_ref[:].astype(jnp.int32)
+    ab = ab_ref[:].astype(jnp.int32)
+    res = _masked_roll_sum_i32(tmp, at, ab, axis=ax, max_arm=max_arm)
 
     @pl.when(step == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(lo)          # best index
-        out_ref[1] = jnp.full_like(lo, -1)       # max height
-        out_ref[2] = jnp.zeros_like(lo)          # total count
+        out_ref[0] = jnp.zeros_like(di)          # best index
+        out_ref[1] = jnp.full_like(di, -1)       # max height
+        out_ref[2] = jnp.zeros_like(di)          # total count
 
-    for d, cnt in ((d0, lo), (d0 + 1, hi)):
-        upd = cnt > out_ref[1]
-        out_ref[0] = jnp.where(upd, d, out_ref[0])
-        out_ref[1] = jnp.where(upd, cnt, out_ref[1])
-    out_ref[2] = out_ref[2] + lo + hi
+    for j in range(k_planes):
+        d0 = 2 * (step * k_planes + j)
+        rj = res if k_planes == 1 else res[j]
+        lo = rj & 0xFFFF
+        hi = rj >> 16
+        for d, cnt in ((d0, lo), (d0 + 1, hi)):
+            upd = cnt > out_ref[1]
+            out_ref[0] = jnp.where(upd, d, out_ref[0])
+            out_ref[1] = jnp.where(upd, cnt, out_ref[1])
+        out_ref[2] = out_ref[2] + lo + hi
 
 
 @functools.partial(jax.jit, static_argnames=("d_range", "max_arm"))
@@ -115,11 +131,17 @@ def _region_vote_pallas(
     max_arm: int,
 ) -> jnp.ndarray:
     h, w = di.shape
+    n_steps = -(-d_range // 2)
+    # same empirical VMEM budget as cross_pass: K>1 only when the
+    # packed (K, H, W) i32 block stays small
+    k = 2 if n_steps % 2 == 0 and 2 * h * w * 4 <= 1.4e6 else 1
     plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_region_vote_kernel, max_arm=max_arm)
+    kernel = functools.partial(
+        _region_vote_kernel, max_arm=max_arm, k_planes=k
+    )
     return pl.pallas_call(
         kernel,
-        grid=(-(-d_range // 2),),
+        grid=(n_steps // k,),
         in_specs=[plane] * 6,
         out_specs=pl.BlockSpec(
             (3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM

@@ -104,32 +104,42 @@ def _scanline_kernel(
         min_ref[:] = jnp.min(lr, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2"))
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "reverse"))
 def scanline_pass_sdp(
     cost_sdp: jnp.ndarray,
     code_sdp: jnp.ndarray,
     flags: jnp.ndarray,
     p1: float,
     p2: float,
+    reverse: bool = False,
 ) -> jnp.ndarray:
     """Run one pass over (S, D, P) arrays; ``flags`` is (S,) int32 with
-    FLAG_PAD / FLAG_SEED / FLAG_NORMAL per step. Returns the optimized
-    (S, D, P) volume. The S grid executes sequentially on TPU, so the VMEM
-    scratch carries the DP state between steps."""
+    FLAG_PAD / FLAG_SEED / FLAG_NORMAL per step *in scan order* (seed
+    first). Returns the optimized (S, D, P) volume in the input's
+    orientation. The S grid executes sequentially on TPU, so the VMEM
+    scratch carries the DP state between steps.
+
+    ``reverse`` scans blocks S-1 .. 0 via reversed index maps — backward
+    passes need NO data flip. (Feeding the custom call a jnp.flip-ed
+    operand inside one jit silently corrupted blocks on some real-TPU
+    shapes, e.g. 653x128x555: even the seed step's verbatim copy came out
+    wrong while interpret mode was exact.)"""
     s, d, p = cost_sdp.shape
     kernel = functools.partial(_scanline_kernel, p1=p1, p2=p2)
+    if reverse:
+        imap = lambda i: (s - 1 - i, 0, 0)  # noqa: E731
+    else:
+        imap = lambda i: (i, 0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(s,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full flags array
-            pl.BlockSpec((1, d, p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, p), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, p), imap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, d, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, d, p), imap, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((s, d, p), jnp.float32),
         scratch_shapes=[

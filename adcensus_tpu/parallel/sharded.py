@@ -114,14 +114,18 @@ def _scanline_with_code(cost, code, opts, axis, forward, valid_s, use_pallas):
         v = jnp.flip(v)
     flags = _scan_flags(s_len, v)
     if use_pallas:
+        # backward passes use the kernel's reversed grid, not a data
+        # flip (a fused flip+transpose operand corrupted blocks on some
+        # real-TPU shapes — see stages/scanline.py)
         out = scanline_pass_sdp(
-            _to_sdp(cost, axis, forward),
-            _to_sdp(code, axis, forward),
+            _to_sdp(cost, axis),
+            _to_sdp(code, axis),
             flags,
             float(opts.so_p1),
             float(opts.so_p2),
+            reverse=not forward,
         )
-        return _from_sdp(out, axis, forward)
+        return _from_sdp(out, axis)
     P1, P2 = _decode_penalties(code, opts)
     perm = (2, 1, 0) if axis == "x" else (1, 2, 0)
     cost_s, P1_s, P2_s = (jnp.transpose(t, perm) for t in (cost, P1, P2))

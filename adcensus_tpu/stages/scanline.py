@@ -83,21 +83,18 @@ def _decode_penalties(code: jnp.ndarray, opts: ADCensusOptions):
     return P1.astype(jnp.float32), P2.astype(jnp.float32)
 
 
-def _to_sdp(vol: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
+def _to_sdp(vol: jnp.ndarray, axis: str) -> jnp.ndarray:
     """(D, H, W) -> (S, D, P): scan axis leading, disparity on sublanes,
-    paths on lanes."""
+    paths on lanes. Backward passes are handled by the kernel's reversed
+    grid (scanline_pass_sdp(reverse=True)), NOT by flipping data — a
+    jnp.flip fused into the custom-call operand corrupted blocks on some
+    real-TPU shapes."""
     if axis == "x":
-        v = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
-    else:
-        v = jnp.transpose(vol, (1, 0, 2))  # (H, D, W)
-    if not forward:
-        v = jnp.flip(v, axis=0)
-    return v
+        return jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
+    return jnp.transpose(vol, (1, 0, 2))  # (H, D, W)
 
 
-def _from_sdp(v: jnp.ndarray, axis: str, forward: bool) -> jnp.ndarray:
-    if not forward:
-        v = jnp.flip(v, axis=0)
+def _from_sdp(v: jnp.ndarray, axis: str) -> jnp.ndarray:
     if axis == "x":
         return jnp.transpose(v, (1, 2, 0))  # (D, H, W)
     return jnp.transpose(v, (1, 0, 2))
@@ -185,12 +182,15 @@ def scanline_pass(
         v = jnp.flip(v)
     flags = _scan_flags(s_len, v)
     if use_pallas:
-        cost_sdp = _to_sdp(cost, axis, forward)
-        code_sdp = _to_sdp(code, axis, forward)
         out = scanline_pass_sdp(
-            cost_sdp, code_sdp, flags, float(opts.so_p1), float(opts.so_p2)
+            _to_sdp(cost, axis),
+            _to_sdp(code, axis),
+            flags,
+            float(opts.so_p1),
+            float(opts.so_p2),
+            reverse=not forward,
         )
-        return _from_sdp(out, axis, forward)
+        return _from_sdp(out, axis)
     P1, P2 = _decode_penalties(code, opts)
     # jnp scan layout: (S, P, D)
     perm = (2, 1, 0) if axis == "x" else (1, 2, 0)

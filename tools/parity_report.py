@@ -1,0 +1,108 @@
+"""All-pairs parity + throughput report vs the compiled reference.
+
+Runs the full pipeline on every bundled Middlebury pair, compares
+against (a) ground truth (bad-delta / RMS) and (b) the reference
+binary's own disparity maps (tests/golden/*_ref_disp.npz, regenerated
+by tools/measure_cpu_baseline.py), and writes PARITY.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adcensus_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.eval.metrics import disparity_agreement, evaluate
+    from adcensus_tpu.io.image import get_pair
+    from adcensus_tpu.stages import pipeline
+
+    base_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    base = json.load(open(base_path)) if os.path.exists(base_path) else {}
+
+    rows = []
+    for name in ["Cone", "Cloth3", "Wood2", "Piano"]:
+        pair = get_pair(name)
+        left, right, gt = pair.load()
+        h, w, _ = left.shape
+        opts = ADCensusOptions(
+            min_disparity=pair.dmin, max_disparity=pair.dmax
+        )
+        work = h * w * opts.disp_range
+        l, r = jnp.asarray(left), jnp.asarray(right)
+        disp = np.asarray(pipeline.match_device(l, r, opts))  # compile
+        iters = 5
+        t0 = time.perf_counter()
+        outs = [pipeline.match_device(l, r, opts) for _ in range(iters)]
+        np.asarray(outs[-1])
+        dt = (time.perf_counter() - t0) / iters
+
+        row = {
+            "pair": name,
+            "h": h,
+            "w": w,
+            "d": opts.disp_range,
+            "seconds": round(dt, 4),
+            "mpixd_per_s": round(work / dt / 1e6, 1),
+            **{k: round(v, 3) for k, v in evaluate(disp, gt).items()},
+        }
+        ref_base = base.get("pairs", {}).get(name, {})
+        if "mpixd_per_s" in ref_base:
+            row["speedup_vs_cpu_ref"] = round(
+                row["mpixd_per_s"] / ref_base["mpixd_per_s"], 1
+            )
+        if "bad_2_0_pct" in ref_base:
+            row["ref_bad_2_0_pct"] = ref_base["bad_2_0_pct"]
+        golden = os.path.join(
+            ROOT, "tests", "golden", f"{name}_ref_disp.npz"
+        )
+        if os.path.exists(golden):
+            ref_disp = np.load(golden)["disparity"]
+            agree = disparity_agreement(disp, ref_disp, tol=0.5)
+            row["agree_ref_tol0.5"] = round(agree["value_agreement"], 4)
+            row["validity_agree_ref"] = round(
+                agree["validity_agreement"], 4
+            )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    lines = [
+        "# PARITY — TPU engine vs reference C++ (g++ -O3) on bundled pairs",
+        "",
+        f"Backend: {jax.default_backend()} (1 chip). "
+        "Reference numbers from BASELINE_MEASURED.json; agreement is the "
+        "fraction of co-valid pixels within 0.5 disparity of the "
+        "reference binary's own output (tests/golden).",
+        "",
+        "| pair | size | D | bad-2.0 % (ours) | bad-2.0 % (ref) | "
+        "agree@0.5 | Mpix·disp/s | speedup vs CPU ref |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['pair']} | {r['w']}x{r['h']} | {r['d']} | "
+            f"{r.get('bad_2_0_pct', '-')} | {r.get('ref_bad_2_0_pct', '-')} | "
+            f"{r.get('agree_ref_tol0.5', '-')} | {r['mpixd_per_s']} | "
+            f"{r.get('speedup_vs_cpu_ref', '-')}x |"
+        )
+    lines.append("")
+    with open(os.path.join(ROOT, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote PARITY.md")
+
+
+if __name__ == "__main__":
+    main()
