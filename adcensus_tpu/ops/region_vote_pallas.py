@@ -80,15 +80,20 @@ def _region_vote_kernel(
     # arms widened one pass at a time (int8 compares are unsupported by
     # Mosaic; widening all four up front wastes VMEM)
 
-    # K packed planes per step (2 disparities each) so the per-offset
-    # arm compares are shared across 2K disparities. K == 1 keeps a
-    # rank-2 body (rank-3 rolls cost Mosaic extra VMEM copies).
+    # K packed planes per step, FOUR disparities each in 8-bit fields for
+    # the horizontal pass (row sums are bounded by 2*max_arm+1 = 69 <
+    # 256, so fields cannot carry into each other), then unpacked to two
+    # 16-bit-field planes for the vertical pass (region sums <= 69*69 =
+    # 4761 < 65536). This halves the horizontal-pass work vs 16-bit
+    # packing. K == 1 keeps rank-2 bodies (rank-3 rolls cost Mosaic
+    # extra VMEM copies).
     planes = []
     for j in range(k_planes):
-        d0 = 2 * (step * k_planes + j)
-        lo_bit = ((di == d0) & (v > 0)).astype(jnp.int32)
-        hi_bit = ((di == d0 + 1) & (v > 0)).astype(jnp.int32)
-        planes.append(lo_bit + (hi_bit << 16))
+        d0 = 4 * (step * k_planes + j)
+        b = [
+            ((di == d0 + i) & (v > 0)).astype(jnp.int32) for i in range(4)
+        ]
+        planes.append(b[0] + (b[1] << 8) + (b[2] << 16) + (b[3] << 24))
     if k_planes == 1:
         packed = planes[0]
         ax = 0
@@ -99,10 +104,18 @@ def _region_vote_kernel(
     # horizontal-first support region (multistep_refiner.cpp:183-197)
     al = al_ref[:].astype(jnp.int32)
     ar = ar_ref[:].astype(jnp.int32)
-    tmp = _masked_roll_sum_i32(packed, al, ar, axis=ax + 1, max_arm=max_arm)
+    tmp8 = _masked_roll_sum_i32(packed, al, ar, axis=ax + 1, max_arm=max_arm)
+    # unpack 4x8-bit -> two 2x16-bit planes; run the vertical pass per
+    # half at the input's own rank (a stacked rank-3 body OOM'd scoped
+    # VMEM on large planes)
+    lo16 = (tmp8 & 0xFF) + (((tmp8 >> 8) & 0xFF) << 16)
+    hi16 = ((tmp8 >> 16) & 0xFF) + (((tmp8 >> 24) & 0xFF) << 16)
     at = at_ref[:].astype(jnp.int32)
     ab = ab_ref[:].astype(jnp.int32)
-    res = _masked_roll_sum_i32(tmp, at, ab, axis=ax, max_arm=max_arm)
+    res = [
+        _masked_roll_sum_i32(t16, at, ab, axis=ax, max_arm=max_arm)
+        for t16 in (lo16, hi16)
+    ]
 
     @pl.when(step == 0)
     def _():
@@ -111,15 +124,16 @@ def _region_vote_kernel(
         out_ref[2] = jnp.zeros_like(di)          # total count
 
     for j in range(k_planes):
-        d0 = 2 * (step * k_planes + j)
-        rj = res if k_planes == 1 else res[j]
-        lo = rj & 0xFFFF
-        hi = rj >> 16
-        for d, cnt in ((d0, lo), (d0 + 1, hi)):
-            upd = cnt > out_ref[1]
-            out_ref[0] = jnp.where(upd, d, out_ref[0])
-            out_ref[1] = jnp.where(upd, cnt, out_ref[1])
-        out_ref[2] = out_ref[2] + lo + hi
+        d0 = 4 * (step * k_planes + j)
+        for half in range(2):  # lo16 then hi16: d0+0/1 then d0+2/3
+            rj = res[half] if k_planes == 1 else res[half][j]
+            lo = rj & 0xFFFF
+            hi = rj >> 16
+            for d, cnt in ((d0 + 2 * half, lo), (d0 + 2 * half + 1, hi)):
+                upd = cnt > out_ref[1]
+                out_ref[0] = jnp.where(upd, d, out_ref[0])
+                out_ref[1] = jnp.where(upd, cnt, out_ref[1])
+            out_ref[2] = out_ref[2] + lo + hi
 
 
 @functools.partial(jax.jit, static_argnames=("d_range", "max_arm"))
@@ -131,7 +145,7 @@ def _region_vote_pallas(
     max_arm: int,
 ) -> jnp.ndarray:
     h, w = di.shape
-    n_steps = -(-d_range // 2)
+    n_steps = -(-d_range // 4)  # 4 disparities per 8-bit-packed plane
     # same empirical VMEM budget as cross_pass: K>1 only when the
     # packed (K, H, W) i32 block stays small
     k = 2 if n_steps % 2 == 0 and 2 * h * w * 4 <= 1.4e6 else 1
