@@ -24,12 +24,11 @@ def load_image_rgb(path: str) -> np.ndarray:
 
     if path.lower().endswith(".png"):
         img = native_png.decode(path)
-        if img is not None:
+        if img is not None and img.dtype == np.uint8:
             if img.ndim == 2:
-                img = np.repeat(
-                    img.astype(np.uint8)[..., None], 3, axis=-1
-                )
+                img = np.repeat(img[..., None], 3, axis=-1)
             return img
+        # 16-bit gray (or anything unusual): PIL's conversion semantics
     return np.array(Image.open(path).convert("RGB"))
 
 

@@ -83,48 +83,3 @@ def gather_right_at_xr(right_vals: jnp.ndarray, disp_range: int,
     return jnp.take_along_axis(
         jnp.broadcast_to(right_vals[None], (disp_range, h, w)), idx, axis=2
     )
-
-
-def window_sum_w(vals: jnp.ndarray, arm_l: jnp.ndarray,
-                 arm_r: jnp.ndarray) -> jnp.ndarray:
-    """Variable-arm horizontal window sum via cumulative sums:
-    out[..., y, x] = sum_{t=-arm_l[y,x]}^{arm_r[y,x]} vals[..., y, x+t].
-
-    Exact O(1)-per-pixel re-expression of the reference's per-pixel arm
-    loops (cross_aggregator.cpp:362-364). ``vals`` is (..., H, W); arms are
-    (H, W) int32 and must keep the window in-bounds (guaranteed by arm
-    construction)."""
-    w = vals.shape[-1]
-    cs = jnp.cumsum(vals, axis=-1)
-    cs = jnp.concatenate(
-        [jnp.zeros(vals.shape[:-1] + (1,), vals.dtype), cs], axis=-1
-    )  # cs[..., k] = sum vals[..., :k]
-    x = jnp.arange(w)
-    hi = (x + arm_r + 1).astype(jnp.int32)  # (H, W)
-    lo = (x - arm_l).astype(jnp.int32)
-    extra = vals.ndim - 2
-    hi = jnp.broadcast_to(hi, vals.shape[:-2] + hi.shape)
-    lo = jnp.broadcast_to(lo, vals.shape[:-2] + lo.shape)
-    return jnp.take_along_axis(cs, hi, axis=-1) - jnp.take_along_axis(
-        cs, lo, axis=-1
-    )
-
-
-def window_sum_h(vals: jnp.ndarray, arm_t: jnp.ndarray,
-                 arm_b: jnp.ndarray) -> jnp.ndarray:
-    """Variable-arm vertical window sum (cross_aggregator.cpp:367-369):
-    out[..., y, x] = sum_{t=-arm_t[y,x]}^{arm_b[y,x]} vals[..., y+t, x]."""
-    h = vals.shape[-2]
-    cs = jnp.cumsum(vals, axis=-2)
-    cs = jnp.concatenate(
-        [jnp.zeros(vals.shape[:-2] + (1,) + vals.shape[-1:], vals.dtype), cs],
-        axis=-2,
-    )
-    y = jnp.arange(h)[:, None]
-    hi = (y + arm_b + 1).astype(jnp.int32)
-    lo = (y - arm_t).astype(jnp.int32)
-    hi = jnp.broadcast_to(hi, vals.shape[:-2] + hi.shape)
-    lo = jnp.broadcast_to(lo, vals.shape[:-2] + lo.shape)
-    return jnp.take_along_axis(cs, hi, axis=-2) - jnp.take_along_axis(
-        cs, lo, axis=-2
-    )

@@ -45,6 +45,7 @@ def _masked_roll_sum(p, lo_arm, hi_arm, axis, max_arm):
     """
     n = p.shape[axis]
     zero = jnp.zeros_like(p)
+    elt0 = jnp.zeros((), p.dtype)  # dtype-generic (f32 costs, i32 counts)
     # NOTE: arms arrive as int8 refs and are widened to int32 by the
     # caller one pass at a time (2 planes live, not 4) — int8 compares
     # are unsupported by Mosaic ("Target does not support this
@@ -53,7 +54,7 @@ def _masked_roll_sum(p, lo_arm, hi_arm, axis, max_arm):
     def neg_body(i, carry):
         acc, rolled = carry
         t = i - max_arm  # t = -max_arm .. -1
-        acc = acc + jnp.where(lo_arm >= -t, rolled, jnp.float32(0.0))
+        acc = acc + jnp.where(lo_arm >= -t, rolled, elt0)
         rolled = pltpu.roll(rolled, n - 1, axis=axis)  # advance t by +1
         return acc, rolled
 
@@ -66,7 +67,7 @@ def _masked_roll_sum(p, lo_arm, hi_arm, axis, max_arm):
         acc, rolled = carry
         t = i + 1  # t = 1 .. max_arm
         rolled = pltpu.roll(rolled, n - 1, axis=axis)
-        acc = acc + jnp.where(hi_arm >= t, rolled, jnp.float32(0.0))
+        acc = acc + jnp.where(hi_arm >= t, rolled, elt0)
         return acc, rolled
 
     acc, _ = jax.lax.fori_loop(0, max_arm, pos_body, (acc, p))
@@ -167,6 +168,11 @@ def cross_pass(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if max_arm > 127:
+        # the kernels store arms as int8 (and the voting kernel packs
+        # 8-bit row counts bounded by 2*max_arm+1); beyond 127 fall back
+        # to the exact jnp path rather than silently overflowing
+        use_pallas = False
     if not use_pallas:
         return cross_pass_ref(
             vol, arms, sup, horizontal_first, max_arm, normalize

@@ -10,10 +10,12 @@ passes of HBM traffic.
 
 This kernel computes the same statistics with:
 
-* **bit-packed counts** — two disparities per int32 (low/high 16-bit
-  fields; counts are bounded by the support area <= 69*69 = 4761 <
-  65536, so fields cannot overflow into each other). One masked-roll
-  accumulation counts two d-planes at once: half the VPU work.
+* **bit-packed counts** — the horizontal pass packs FOUR disparities
+  per int32 in 8-bit fields (row sums are bounded by 2*max_arm+1), and
+  the vertical pass runs on two 16-bit-field planes (region sums are
+  bounded by the support area <= (2*max_arm+1)^2, which fits 16 bits
+  for max_arm <= 127 — larger arms fall back to the jnp mirror). One
+  masked-roll accumulation counts 4 (then 2) d-planes at once.
 * **in-VMEM reduction** — the TPU grid is sequential, so the running
   (best, max_ht, count) live in the output block across grid steps;
   the one-hot volume and the D-axis argmax/max/sum passes never touch
@@ -32,42 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from adcensus_tpu.ops.cross_sum_pallas import cross_pass_ref
+from adcensus_tpu.ops.cross_sum_pallas import (
+    _masked_roll_sum as _masked_roll_sum_i32,  # dtype-generic
+    cross_pass_ref,
+)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
-
-
-def _masked_roll_sum_i32(p, lo_arm, hi_arm, axis, max_arm):
-    """Integer twin of cross_sum_pallas._masked_roll_sum: ascending-t
-    masked accumulation of roll(p, -t) for t in [-max_arm, max_arm]
-    (exact for integers; order is irrelevant here)."""
-    n = p.shape[axis]
-    zero = jnp.zeros_like(p)
-    izero = jnp.zeros((), p.dtype)
-
-    def neg_body(i, carry):
-        acc, rolled = carry
-        t = i - max_arm
-        acc = acc + jnp.where(lo_arm >= -t, rolled, izero)
-        rolled = pltpu.roll(rolled, n - 1, axis=axis)
-        return acc, rolled
-
-    acc, _ = jax.lax.fori_loop(
-        0, max_arm, neg_body, (zero, pltpu.roll(p, max_arm % n, axis=axis))
-    )
-    acc = acc + p
-
-    def pos_body(i, carry):
-        acc, rolled = carry
-        t = i + 1
-        rolled = pltpu.roll(rolled, n - 1, axis=axis)
-        acc = acc + jnp.where(hi_arm >= t, rolled, izero)
-        return acc, rolled
-
-    acc, _ = jax.lax.fori_loop(0, max_arm, pos_body, (acc, p))
-    return acc
 
 
 def _region_vote_kernel(
@@ -187,6 +161,10 @@ def region_vote_stats(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if max_arm > 127:
+        # int8 arm storage + 8-bit packed row counts overflow past 127;
+        # fall back to the exact one-hot mirror
+        use_pallas = False
     if use_pallas:
         out = _region_vote_pallas(di, valid, arms, d_range, max_arm)
         best, max_ht, count = out[0], out[1], out[2]

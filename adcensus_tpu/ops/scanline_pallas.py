@@ -148,13 +148,3 @@ def scanline_pass_sdp(
         ],
         interpret=_use_interpret(),
     )(flags.astype(jnp.int32), cost_sdp, code_sdp)
-
-
-def default_flags(s: int) -> jnp.ndarray:
-    """Flags for an unpadded pass: seed then normals."""
-    return jnp.concatenate(
-        [
-            jnp.array([FLAG_SEED], jnp.int32),
-            jnp.full((s - 1,), FLAG_NORMAL, jnp.int32),
-        ]
-    )

@@ -291,12 +291,16 @@ def _pair_body(left, right, gray_l, gray_r,
     disp_l = wta_stage.wta_left(vol, opts)
     disp_r = wta_stage.wta_right(vol, opts)
 
-    # ---- refinement -----------------------------------------------------
+    # ---- refinement (flag gating mirrors multistep_refine) --------------
     row_ids = r0 + jnp.arange(h_local)
     in_image = (row_ids[:, None] < h) & (jnp.arange(wp)[None, :] < w)
-    disp, occl, mism = refine_stage.outlier_detection(
-        disp_l, disp_r, opts, real_w=w
-    )
+    disp = disp_l
+    occl = jnp.zeros_like(in_image)
+    mism = jnp.zeros_like(in_image)
+    if opts.do_lr_check:
+        disp, occl, mism = refine_stage.outlier_detection(
+            disp_l, disp_r, opts, real_w=w
+        )
     disp = jnp.where(in_image, disp, INVALID_FLOAT)
     occl = occl & in_image
     mism = mism & in_image
@@ -304,38 +308,21 @@ def _pair_body(left, right, gray_l, gray_r,
     if opts.do_filling:
         # iterative region voting with row halos
         arms_vote = rows(arms, r0, h_local + 2 * halo)
-        d_range = opts.disp_range
-        from adcensus_tpu.ops.basic import lround as _lround
         from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
 
         def vote_phase(disp, target):
             # histogram runs on the haloed slab so regions crossing the
-            # shard edge see their full support
+            # shard edge see their full support; thresholds/fill are the
+            # shared single-chip helpers
             dpad = _halo_rows(disp, halo, axis=0)
-            valid = jnp.isfinite(dpad)
-            di = jnp.clip(
-                _lround(jnp.where(valid, dpad, 0.0))
-                - opts.min_disparity,
-                0,
-                d_range - 1,
-            ).astype(jnp.int32)
+            di, valid = refine_stage.vote_indices(dpad, opts)
             best, max_ht, count = region_vote_stats(
-                di, valid, arms_vote, d_range, halo,
+                di, valid, arms_vote, opts.disp_range, halo,
                 use_pallas=use_pallas,
             )
-            best = best[halo : halo + h_local]
-            max_ht = max_ht[halo : halo + h_local]
-            count = count[halo : halo + h_local]
-            ratio_ok = (
-                max_ht.astype(jnp.float32) / count.astype(jnp.float32)
-            ) > jnp.float32(opts.irv_th)
-            fill = (
-                target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
-            )
-            return jnp.where(
-                fill,
-                (best + opts.min_disparity).astype(jnp.float32),
-                disp,
+            own = slice(halo, halo + h_local)
+            return refine_stage.apply_vote_fill(
+                disp, target, best[own], max_ht[own], count[own], opts
             )
 
         for _ in range(5):
@@ -349,17 +336,35 @@ def _pair_body(left, right, gray_l, gray_r,
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
         mism_target = mism & ~jnp.isfinite(disp)
         fills = refine_stage.interpolation_fills(
-            full, left_full, opts, True, row_offset=0, out_rows=hp
+            full, left_full, opts, True, row_offset=r0, out_rows=h_local
         )
-        fills = rows(fills, r0, h_local)
         disp = jnp.where(mism_target, fills, disp)
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
         occl_target = occl & ~jnp.isfinite(disp)
         fills = refine_stage.interpolation_fills(
-            full, left_full, opts, False, row_offset=0, out_rows=hp
+            full, left_full, opts, False, row_offset=r0, out_rows=h_local
         )
-        fills = rows(fills, r0, h_local)
         disp = jnp.where(occl_target, fills, disp)
+
+    if opts.do_discontinuity_adjustment:
+        # 1-row disp halo for the Sobel mask, 1-row cost halo for the
+        # neighbor-cost lookups; DDA itself only reads x-neighbors, so
+        # the adjustment is row-local on the haloed slab. True image
+        # border rows/cols must keep their pre-DDA values (edge_detect
+        # zeroes them in the unsharded path; here halo rows of edge
+        # shards and column padding would otherwise leak in).
+        pre = disp
+        dpad = _halo_rows(disp, 1, axis=0)
+        vpad = _halo_rows(vol, 1, axis=1)
+        adj = refine_stage.depth_discontinuity_adjustment(dpad, vpad, opts)
+        adj = adj[1 : 1 + h_local]
+        interior = (
+            (row_ids[:, None] > 0)
+            & (row_ids[:, None] < h - 1)
+            & (jnp.arange(wp)[None, :] > 0)
+            & (jnp.arange(wp)[None, :] < w - 1)
+        )
+        disp = jnp.where(interior, adj, pre)
 
     # ---- median with 1-row halo and in-image mask -----------------------
     dpad = _halo_rows(disp, 1, axis=0)

@@ -94,20 +94,47 @@ def _region_histogram_stats(
     from adcensus_tpu.config import MAX_ARM_LENGTH
     from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
 
-    d_range = opts.disp_range
-    valid = jnp.isfinite(disp)
-    di = jnp.clip(
-        lround(jnp.where(valid, disp, 0.0)) - opts.min_disparity,
-        0,
-        d_range - 1,
-    ).astype(jnp.int32)
+    di, valid = vote_indices(disp, opts)
     return region_vote_stats(
         di,
         valid,
         arms,
-        d_range,
+        opts.disp_range,
         min(opts.cross_L1, MAX_ARM_LENGTH),
         use_pallas=use_pallas,
+    )
+
+
+def vote_indices(
+    disp: jnp.ndarray, opts: ADCensusOptions
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rounded 0-based disparity indices, validity mask) for voting
+    (multistep_refiner.cpp:187-197 uses rounded disparities)."""
+    valid = jnp.isfinite(disp)
+    di = jnp.clip(
+        lround(jnp.where(valid, disp, 0.0)) - opts.min_disparity,
+        0,
+        opts.disp_range - 1,
+    ).astype(jnp.int32)
+    return di, valid
+
+
+def apply_vote_fill(
+    disp: jnp.ndarray,
+    target: jnp.ndarray,
+    best: jnp.ndarray,
+    max_ht: jnp.ndarray,
+    count: jnp.ndarray,
+    opts: ADCensusOptions,
+) -> jnp.ndarray:
+    """Fill ``target`` pixels whose region histogram passes the ts/th
+    thresholds (multistep_refiner.cpp:199-214)."""
+    ratio_ok = (
+        max_ht.astype(jnp.float32) / count.astype(jnp.float32)
+    ) > jnp.float32(opts.irv_th)
+    fill = target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
+    return jnp.where(
+        fill, (best + opts.min_disparity).astype(jnp.float32), disp
     )
 
 
@@ -118,24 +145,15 @@ def region_vote_phase(
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """One voting phase: fill ``target`` pixels whose region histogram
-    passes the ts/th thresholds (multistep_refiner.cpp:199-214). The
-    expensive histogram is skipped entirely (lax.cond) when no targets
-    remain — by then every later phase is a no-op by definition."""
+    """One voting phase. The expensive histogram is skipped entirely
+    (lax.cond) when no targets remain — by then every later phase is a
+    no-op by definition."""
 
     def do_phase(disp):
         best, max_ht, count = _region_histogram_stats(
             disp, arms, opts, use_pallas
         )
-        ratio_ok = (
-            max_ht.astype(jnp.float32) / count.astype(jnp.float32)
-        ) > jnp.float32(opts.irv_th)
-        fill = target & (max_ht > 0) & (count > opts.irv_ts) & ratio_ok
-        return jnp.where(
-            fill,
-            (best + opts.min_disparity).astype(jnp.float32),
-            disp,
-        )
+        return apply_vote_fill(disp, target, best, max_ht, count, opts)
 
     return jax.lax.cond(jnp.any(target), do_phase, lambda d: d, disp)
 

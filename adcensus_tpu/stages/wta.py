@@ -14,10 +14,9 @@ reference's asymmetric edge cases:
 
 TPU formulation: instead of argmin + take_along_axis (TPU gathers are
 slow) the winner, its cost, and its two neighbor costs are tracked in a
-single running scan over the D planes — one fused elementwise pass over
-the volume, no gathers, and the right view's plane shift (a static
-pad/slice per plane) folds into the same pass, so both disparity maps
-cost one volume read total.
+single running scan over the D planes — a fused elementwise pass per
+view, no gathers; the right view's plane shift (a static pad/slice per
+plane) folds into its pass.
 """
 from __future__ import annotations
 
@@ -100,10 +99,3 @@ def wta_right(cost: jnp.ndarray, opts: ADCensusOptions) -> jnp.ndarray:
     return jnp.where(
         border, (best + opts.min_disparity).astype(jnp.float32), disp
     )
-
-
-def wta_both(
-    cost: jnp.ndarray, opts: ADCensusOptions
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Both disparity maps in one fused pass over the volume."""
-    return wta_left(cost, opts), wta_right(cost, opts)

@@ -64,3 +64,24 @@ def test_sharded_equals_unsharded_odd_shape(small_pair, sharded_opts, mesh8):
     both = np.isfinite(ref) & np.isfinite(out)
     assert np.array_equal(np.isfinite(ref), np.isfinite(out))
     np.testing.assert_allclose(out[both], ref[both], atol=5e-5)
+
+
+def test_sharded_flag_gating(small_pair, mesh8):
+    """do_lr_check=False and do_discontinuity_adjustment=True must behave
+    identically sharded and unsharded (the sharded path used to ignore
+    both flags)."""
+    from adcensus_tpu.config import ADCensusOptions
+
+    opts = ADCensusOptions(
+        min_disparity=0,
+        max_disparity=16,
+        cross_L1=8,
+        cross_L2=4,
+        do_lr_check=False,
+        do_discontinuity_adjustment=True,
+    )
+    left, right = small_pair
+    ref, out = _run_both(left, right, opts, mesh8)
+    assert np.array_equal(np.isfinite(ref), np.isfinite(out))
+    both = np.isfinite(ref) & np.isfinite(out)
+    np.testing.assert_allclose(out[both], ref[both], atol=5e-5)

@@ -44,9 +44,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from adcensus_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from adcensus_tpu.config import ADCensusOptions
     from adcensus_tpu.io.image import get_pair
