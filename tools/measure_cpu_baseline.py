@@ -46,11 +46,21 @@ def build() -> None:
     subprocess.run(cmd, check=True)
 
 
-def run_pair(name: str, repeats: int = 3):
+def run_pair(name: str, repeats: int = 3, dmin=None, dmax=None,
+             label=None):
     from adcensus_tpu.eval.metrics import evaluate
     from adcensus_tpu.io.image import get_pair
 
     pair = get_pair(name)
+    if dmin is not None or dmax is not None:
+        import dataclasses
+
+        pair = dataclasses.replace(
+            pair,
+            dmin=pair.dmin if dmin is None else dmin,
+            dmax=pair.dmax if dmax is None else dmax,
+        )
+    label = label or name
     left, right, gt = pair.load()
     h, w, _ = left.shape
     # the reference consumes interleaved BGR bytes (main.cpp:65-76)
@@ -76,7 +86,7 @@ def run_pair(name: str, repeats: int = 3):
     metrics = evaluate(disp, gt)
     work = h * w * (pair.dmax - pair.dmin)
     return {
-        "pair": name,
+        "pair": label,
         "h": h,
         "w": w,
         "d_range": pair.dmax - pair.dmin,
@@ -86,17 +96,42 @@ def run_pair(name: str, repeats: int = 3):
     }, disp
 
 
+CONFIGS = {
+    # label -> (pair, dmin, dmax); None = bundled d_range.txt
+    "Cone": ("Cone", None, None),
+    "Cloth3": ("Cloth3", None, None),
+    "Wood2": ("Wood2", None, None),
+    "Piano": ("Piano", None, None),
+    # BASELINE.json config 4: high-disparity Piano
+    "Piano256": ("Piano", 0, 256),
+}
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="labels to (re)measure; others keep existing "
+                    "values (measure on an IDLE machine: load corrupts "
+                    "the timing baseline)")
+    args = ap.parse_args()
     sys.path.insert(0, ROOT)
     build()
     golden_dir = os.path.join(ROOT, "tests", "golden")
     os.makedirs(golden_dir, exist_ok=True)
+    out_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     results = {}
-    for name in ["Cone", "Cloth3", "Wood2", "Piano"]:
-        r, disp = run_pair(name)
-        results[name] = r
+    if args.only and os.path.exists(out_path):
+        results = json.load(open(out_path)).get("pairs", {})
+    for label, (name, dmin, dmax) in CONFIGS.items():
+        if args.only is not None and label not in args.only:
+            continue
+        r, disp = run_pair(name, dmin=dmin, dmax=dmax, label=label)
+        results[label] = r
         np.savez_compressed(
-            os.path.join(golden_dir, f"{name}_ref_disp.npz"), disparity=disp
+            os.path.join(golden_dir, f"{label}_ref_disp.npz"),
+            disparity=disp,
         )
         print(json.dumps(r))
     summary = {
@@ -105,7 +140,7 @@ def main() -> None:
         "cone_mpixd_per_s": results["Cone"]["mpixd_per_s"],
         "pairs": results,
     }
-    with open(os.path.join(ROOT, "BASELINE_MEASURED.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print("wrote BASELINE_MEASURED.json")
 

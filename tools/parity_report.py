@@ -33,14 +33,25 @@ def main() -> None:
     base_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     base = json.load(open(base_path)) if os.path.exists(base_path) else {}
 
+    configs = [
+        ("Cone", None), ("Cloth3", None), ("Wood2", None),
+        ("Piano", None),
+        # BASELINE.json config 4: high-res high-disparity single chip
+        ("Piano", ("Piano256", 0, 256)),
+    ]
     rows = []
-    for name in ["Cone", "Cloth3", "Wood2", "Piano"]:
+    for name, override in configs:
         pair = get_pair(name)
         left, right, gt = pair.load()
         h, w, _ = left.shape
-        opts = ADCensusOptions(
-            min_disparity=pair.dmin, max_disparity=pair.dmax
-        )
+        if override is None:
+            label = name
+            opts = ADCensusOptions(
+                min_disparity=pair.dmin, max_disparity=pair.dmax
+            )
+        else:
+            label, dmin, dmax = override
+            opts = ADCensusOptions(min_disparity=dmin, max_disparity=dmax)
         work = h * w * opts.disp_range
         l, r = jnp.asarray(left), jnp.asarray(right)
         disp = np.asarray(pipeline.match_device(l, r, opts))  # compile
@@ -51,7 +62,7 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / iters
 
         row = {
-            "pair": name,
+            "pair": label,
             "h": h,
             "w": w,
             "d": opts.disp_range,
@@ -59,7 +70,7 @@ def main() -> None:
             "mpixd_per_s": round(work / dt / 1e6, 1),
             **{k: round(v, 3) for k, v in evaluate(disp, gt).items()},
         }
-        ref_base = base.get("pairs", {}).get(name, {})
+        ref_base = base.get("pairs", {}).get(label, {})
         if "mpixd_per_s" in ref_base:
             row["speedup_vs_cpu_ref"] = round(
                 row["mpixd_per_s"] / ref_base["mpixd_per_s"], 1
@@ -67,7 +78,7 @@ def main() -> None:
         if "bad_2_0_pct" in ref_base:
             row["ref_bad_2_0_pct"] = ref_base["bad_2_0_pct"]
         golden = os.path.join(
-            ROOT, "tests", "golden", f"{name}_ref_disp.npz"
+            ROOT, "tests", "golden", f"{label}_ref_disp.npz"
         )
         if os.path.exists(golden):
             ref_disp = np.load(golden)["disparity"]
