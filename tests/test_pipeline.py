@@ -62,3 +62,21 @@ def test_graft_entry_shapes():
     out = fn(*args)  # eager run, no jit: just the wiring
     assert out.shape == args[0].shape[:2]
     assert bool(jnp.isfinite(out).any())
+
+
+def test_nonzero_min_disparity_matches_oracle(small_pair):
+    """min_disparity != 0 exercises the d-offset handling in the right
+    volume, penalty codes, voting and interpolation (the reference takes
+    the range from the CLI, main.cpp:82-83)."""
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.oracle import numpy_ref
+
+    left, right = small_pair
+    opts = ADCensusOptions(min_disparity=2, max_disparity=14)
+    ref = numpy_ref.match(left, right, opts)["disparity"]
+    out = np.asarray(_run_core(left, right, opts)["disparity"])
+    assert (np.isfinite(out) == np.isfinite(ref)).mean() > 0.95
+    m = np.isfinite(ref) & np.isfinite(out)
+    d = np.abs(out[m] - ref[m])
+    assert (d <= 0.5).mean() > 0.93
+    assert (d <= 2.0).mean() > 0.97
