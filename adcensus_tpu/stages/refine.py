@@ -208,21 +208,35 @@ def _first_valid_along_rays(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For each pixel of rows [row_offset, row_offset + out_rows) and each
     of the 16 rays, the first valid disparity along the ray and the color
-    of the pixel it was found at (rays read the *full* map — the sharded
-    pipeline passes an all-gathered map and computes only its own rows).
+    distance (sum of absolute channel diffs to the center pixel) at the
+    hit (rays read the *full* map — the sharded pipeline passes an
+    all-gathered map and computes only its own rows).
 
-    Returns (found (16,R,W) bool, val (16,R,W) f32, color (16,R,W,3) i32).
+    The march is a ``while_loop`` that stops once every pixel of every
+    ray has found a hit — on real maps that is a handful of steps, not
+    the max_disparity worst case.
+
+    Returns (found (16,R,W) bool, val (16,R,W) f32, dist (16,R,W) i32).
     """
     h, w = disp.shape
     r = h - row_offset if out_rows is None else out_rows
+    n_steps = offsets.shape[1]
     disp_pad = jnp.pad(disp, pad, constant_values=INVALID_FLOAT)
     left_pad = jnp.pad(
         left.astype(jnp.int32), ((pad, pad), (pad, pad), (0, 0))
     )
+    center = jax.lax.dynamic_slice(
+        left_pad, (pad + row_offset, pad, 0), (r, w, 3)
+    )
 
-    def ray_scan(ray_offsets):
-        def step(carry, off):
-            found, val, col = carry
+    def ray_march(ray_offsets):
+        def cond(carry):
+            i, found, _, _ = carry
+            return (i < n_steps) & ~jnp.all(found)
+
+        def body(carry):
+            i, found, val, dist = carry
+            off = jax.lax.dynamic_slice_in_dim(ray_offsets, i, 1)[0]
             dy, dx = off[0], off[1]
             cand = jax.lax.dynamic_slice(
                 disp_pad, (pad + row_offset + dy, pad + dx), (r, w)
@@ -233,19 +247,21 @@ def _first_valid_along_rays(
             cand_valid = jnp.isfinite(cand)
             take = cand_valid & ~found
             val = jnp.where(take, cand, val)
-            col = jnp.where(take[..., None], ccol, col)
-            found = found | cand_valid
-            return (found, val, col), None
+            dist = jnp.where(
+                take, jnp.sum(jnp.abs(ccol - center), axis=-1), dist
+            )
+            return i + 1, found | cand_valid, val, dist
 
         init = (
+            jnp.int32(0),
             jnp.zeros((r, w), bool),
             jnp.zeros((r, w), jnp.float32),
-            jnp.zeros((r, w, 3), jnp.int32),
+            jnp.zeros((r, w), jnp.int32),
         )
-        (found, val, col), _ = jax.lax.scan(step, init, ray_offsets)
-        return found, val, col
+        _, found, val, dist = jax.lax.while_loop(cond, body, init)
+        return found, val, dist
 
-    return jax.vmap(ray_scan)(offsets)
+    return jax.vmap(ray_march)(offsets)
 
 
 def proper_interpolation(
@@ -289,14 +305,10 @@ def interpolation_fills(
     max_search = max(abs(opts.max_disparity), abs(opts.min_disparity))
     offsets = jnp.asarray(ray_offset_table(max_search))
     pad = int(max_search) + 1
-    center_col = jax.lax.dynamic_slice_in_dim(
-        left.astype(jnp.int32), row_offset, r, axis=0
-    )
-    found, val, col = _first_valid_along_rays(
+    found, val, dist = _first_valid_along_rays(
         disp, left, offsets, pad, row_offset, r
     )
     if is_mismatch:
-        dist = jnp.sum(jnp.abs(col - center_col[None]), axis=-1)
         dist = jnp.where(found, dist, 10**9)
         ray = jnp.argmin(dist, axis=0)  # first minimum in ray order
         fill_val = jnp.take_along_axis(val, ray[None], axis=0)[0]
