@@ -64,15 +64,20 @@ def test_graft_entry_shapes():
     assert bool(jnp.isfinite(out).any())
 
 
-def test_nonzero_min_disparity_matches_oracle(small_pair):
-    """min_disparity != 0 exercises the d-offset handling in the right
-    volume, penalty codes, voting and interpolation (the reference takes
-    the range from the CLI, main.cpp:82-83)."""
+import pytest
+
+
+@pytest.mark.parametrize("dmin,dmax", [(2, 14), (-4, 8)])
+def test_nonzero_min_disparity_matches_oracle(small_pair, dmin, dmax):
+    """min_disparity != 0 (including negative, for verged rigs) exercises
+    the d-offset handling in the right volume, penalty codes, voting and
+    interpolation (the reference takes the range from the CLI,
+    main.cpp:82-83)."""
     from adcensus_tpu.config import ADCensusOptions
     from adcensus_tpu.oracle import numpy_ref
 
     left, right = small_pair
-    opts = ADCensusOptions(min_disparity=2, max_disparity=14)
+    opts = ADCensusOptions(min_disparity=dmin, max_disparity=dmax)
     ref = numpy_ref.match(left, right, opts)["disparity"]
     out = np.asarray(_run_core(left, right, opts)["disparity"])
     assert (np.isfinite(out) == np.isfinite(ref)).mean() > 0.95
