@@ -205,6 +205,7 @@ def _first_valid_along_rays(
     pad: int,
     row_offset: int = 0,
     out_rows: int | None = None,
+    need_color: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For each pixel of rows [row_offset, row_offset + out_rows) and each
     of the 16 rays, the first valid disparity along the ray and the color
@@ -241,15 +242,17 @@ def _first_valid_along_rays(
             cand = jax.lax.dynamic_slice(
                 disp_pad, (pad + row_offset + dy, pad + dx), (r, w)
             )
-            ccol = jax.lax.dynamic_slice(
-                left_pad, (pad + row_offset + dy, pad + dx, 0), (r, w, 3)
-            )
             cand_valid = jnp.isfinite(cand)
             take = cand_valid & ~found
             val = jnp.where(take, cand, val)
-            dist = jnp.where(
-                take, jnp.sum(jnp.abs(ccol - center), axis=-1), dist
-            )
+            if need_color:  # occlusion fills never read colors
+                ccol = jax.lax.dynamic_slice(
+                    left_pad, (pad + row_offset + dy, pad + dx, 0),
+                    (r, w, 3),
+                )
+                dist = jnp.where(
+                    take, jnp.sum(jnp.abs(ccol - center), axis=-1), dist
+                )
             return i + 1, found | cand_valid, val, dist
 
         init = (
@@ -306,7 +309,7 @@ def interpolation_fills(
     offsets = jnp.asarray(ray_offset_table(max_search))
     pad = int(max_search) + 1
     found, val, dist = _first_valid_along_rays(
-        disp, left, offsets, pad, row_offset, r
+        disp, left, offsets, pad, row_offset, r, need_color=is_mismatch
     )
     if is_mismatch:
         dist = jnp.where(found, dist, 10**9)
