@@ -336,13 +336,15 @@ def _pair_body(left, right, gray_l, gray_r,
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
         mism_target = mism & ~jnp.isfinite(disp)
         fills = refine_stage.interpolation_fills(
-            full, left_full, opts, True, row_offset=r0, out_rows=h_local
+            full, left_full, opts, True, row_offset=r0,
+            out_rows=h_local, use_pallas=use_pallas,
         )
         disp = jnp.where(mism_target, fills, disp)
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
         occl_target = occl & ~jnp.isfinite(disp)
         fills = refine_stage.interpolation_fills(
-            full, left_full, opts, False, row_offset=r0, out_rows=h_local
+            full, left_full, opts, False, row_offset=r0,
+            out_rows=h_local, use_pallas=use_pallas,
         )
         disp = jnp.where(occl_target, fills, disp)
 

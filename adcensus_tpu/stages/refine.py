@@ -273,13 +273,16 @@ def proper_interpolation(
     occlusion: jnp.ndarray,
     mismatch: jnp.ndarray,
     opts: ADCensusOptions,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Single-device wrapper: both phases over the full map."""
     mism_target = mismatch & ~jnp.isfinite(disp)
-    fill_m = interpolation_fills(disp, left, opts, True)
+    fill_m = interpolation_fills(disp, left, opts, True,
+                                 use_pallas=use_pallas)
     disp = jnp.where(mism_target, fill_m, disp)
     occl_target = occlusion & ~jnp.isfinite(disp)
-    fill_o = interpolation_fills(disp, left, opts, False)
+    fill_o = interpolation_fills(disp, left, opts, False,
+                                 use_pallas=use_pallas)
     return jnp.where(occl_target, fill_o, disp)
 
 
@@ -290,6 +293,7 @@ def interpolation_fills(
     is_mismatch: bool,
     row_offset: int = 0,
     out_rows: int | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """16-ray interpolation fill values (multistep_refiner.cpp:229-305)
     for rows [row_offset, row_offset + out_rows) of ``disp``.
@@ -303,11 +307,38 @@ def interpolation_fills(
     (two-phase, multistep_refiner.cpp:244), so phases are exact up to map
     state at phase start.
     """
-    h = disp.shape[0]
+    from adcensus_tpu.ops.basic import resolve_use_pallas
+    from adcensus_tpu.ops.interp_pallas import (
+        ray_interp_fits_vmem,
+        ray_interp_select,
+    )
+
+    h, w = disp.shape
     r = h - row_offset if out_rows is None else out_rows
     max_search = max(abs(opts.max_disparity), abs(opts.min_disparity))
     offsets = jnp.asarray(ray_offset_table(max_search))
     pad = int(max_search) + 1
+
+    if resolve_use_pallas(use_pallas) and ray_interp_fits_vmem(h, w, pad):
+        # extra bottom rows / right columns: the kernel loads
+        # (8, 128)-aligned blocks of aligned shape (Mosaic) and rotates
+        # the residue away, so aligned loads must stay in bounds
+        er = (-(-(r + 8) // 8) * 8) - r
+        ec = (-(-w // 128) * 128 + 128) - w
+        disp_pad = jnp.pad(
+            disp, ((pad, pad + er), (pad, pad + ec)),
+            constant_values=INVALID_FLOAT,
+        )
+        color_pad = jnp.pad(
+            left.astype(jnp.uint8),
+            ((pad, pad + er), (pad, pad + ec), (0, 0)),
+        )
+        found_any, fill_val = ray_interp_select(
+            disp_pad, color_pad, offsets, row_offset, r, w, pad,
+            is_mismatch,
+        )
+        return jnp.where(found_any, fill_val, 0.0)
+
     found, val, dist = _first_valid_along_rays(
         disp, left, offsets, pad, row_offset, r, need_color=is_mismatch
     )
@@ -435,7 +466,9 @@ def multistep_refine(
             disp, arms, occl, mism, opts, use_pallas=use_pallas
         )
         out["after_voting"] = disp
-        disp = proper_interpolation(disp, left, occl, mism, opts)
+        disp = proper_interpolation(
+            disp, left, occl, mism, opts, use_pallas=use_pallas
+        )
         out["after_interpolation"] = disp
     if opts.do_discontinuity_adjustment:
         disp = depth_discontinuity_adjustment(disp, cost, opts)

@@ -146,3 +146,26 @@ def test_region_vote_kernel_matches_jnp(small_opts, oracle_result):
                             use_pallas=True)  # interpret mode on CPU
     for a, b, name in zip(out, ref, ("best", "max_ht", "count")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+def test_ray_interp_kernel_matches_xla(small_pair, small_opts, oracle_result):
+    """Pallas ray-march kernel (interpret mode) == the XLA slice-scan
+    path for both phases, including first-minimum ray tie-breaks."""
+    import jax.numpy as jnp
+
+    left, _ = small_pair
+    disp = jnp.asarray(oracle_result["after_voting"])
+    for is_mismatch in (True, False):
+        ref = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=False,
+            )
+        )
+        out = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
