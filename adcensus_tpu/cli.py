@@ -11,6 +11,7 @@ timings and, when ground truth is available, bad-delta metrics.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -83,6 +84,32 @@ def main() -> None:
         help="save a point cloud (x,y,d,r,g,b) like SaveDisparityCloud "
         "(main.cpp:212-230)",
     )
+    # every remaining ADCensusOption tunable (adcensus_types.h:45-75) as a
+    # flag; None means "keep the reference default"
+    tunables = [
+        f
+        for f in dataclasses.fields(ADCensusOptions)
+        if f.name not in ("min_disparity", "max_disparity")
+    ]
+    grp = ap.add_argument_group("pipeline tunables (reference defaults)")
+    for f in tunables:
+        flag = "--" + f.name.replace("_", "-").lower()
+        if f.type == "bool":
+            grp.add_argument(
+                flag,
+                dest=f.name,
+                action=argparse.BooleanOptionalAction,
+                default=None,
+                help=f"(default: {f.default})",
+            )
+        else:
+            grp.add_argument(
+                flag,
+                dest=f.name,
+                type=float if f.type == "float" else int,
+                default=None,
+                help=f"(default: {f.default})",
+            )
     args = ap.parse_args()
 
     if args.pair:
@@ -111,6 +138,14 @@ def main() -> None:
             min_disparity=args.min_disp, max_disparity=args.max_disp
         )
         prefix = args.out or args.left
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in tunables
+        if getattr(args, f.name) is not None
+    }
+    if overrides:
+        opts = dataclasses.replace(opts, **overrides)
+    opts.validate()
     if left.shape != right.shape:
         raise SystemExit("left/right image sizes differ")
     if not args.no_save:

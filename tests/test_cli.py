@@ -63,3 +63,31 @@ def test_cli_end_to_end_tiny(tmp_path):
         assert img is not None and img.shape[:2] == (32, 48)
     lines = open(cloud).read().strip().splitlines()
     assert lines and len(lines[0].split()) == 6
+
+
+def test_cli_tunable_flags(tmp_path):
+    """Every ADCensusOption tunable is reachable from the CLI
+    (adcensus_types.h:45-75); overrides actually change the pipeline."""
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+    from adcensus_tpu.io import native_png
+
+    left, right = g._tiny_pair(32, 48)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    assert native_png.encode(left, lp) and native_png.encode(right, rp)
+
+    r = _run_cli(
+        [
+            lp, rp, "0", "8", "--no-save",
+            "--lambda-ad", "12", "--lambda-census", "25",
+            "--cross-l1", "8", "--cross-l2", "4",
+            "--so-p1", "0.5", "--so-p2", "2.0",
+            "--no-do-lr-check", "--no-do-filling",
+        ],
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "density_pct" in r.stdout
+
+    r = _run_cli([lp, rp, "0", "8", "--no-save", "--bogus-flag", "1"])
+    assert r.returncode != 0
