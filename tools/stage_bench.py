@@ -1,0 +1,135 @@
+"""True per-stage device timing despite the remote-TPU tunnel.
+
+The per-stage profiler (utils/profiling.py) fences every stage with a
+device->host transfer, so each measurement carries the tunnel's ~100 ms
+dispatch/fetch RPC. Here each stage runs N times inside ONE jitted
+``fori_loop`` (an ``optimization_barrier`` re-ties the inputs to the
+loop carry each iteration so XLA cannot hoist the stage out of the
+loop), and only the final scalar is fetched — the RPC cost is amortized
+to <2 ms/stage at N=50.
+
+Usage: python tools/stage_bench.py [pair] [iters]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adcensus_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.io.image import get_pair
+    from adcensus_tpu.stages import aggregate as agg_stage
+    from adcensus_tpu.stages import arms as arms_stage
+    from adcensus_tpu.stages import cost as cost_stage
+    from adcensus_tpu.stages import refine as refine_stage
+    from adcensus_tpu.stages import scanline as scan_stage
+    from adcensus_tpu.stages import wta as wta_stage
+
+    pair_name = sys.argv[1] if len(sys.argv) > 1 else "Cone"
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    pair = get_pair(pair_name)
+    left_np, right_np, _ = pair.load()
+    h, w, _ = left_np.shape
+    opts = ADCensusOptions(min_disparity=pair.dmin, max_disparity=pair.dmax)
+    work = h * w * opts.disp_range
+
+    left = jax.device_put(jnp.asarray(left_np))
+    right = jax.device_put(jnp.asarray(right_np))
+    gray_l = cost_stage.compute_gray(left)
+    gray_r = cost_stage.compute_gray(right)
+
+    def stage_cost(left, right, gray_l, gray_r):
+        cl = cost_stage.census_transform_9x7(gray_l)
+        cr = cost_stage.census_transform_9x7(gray_r)
+        return cost_stage.compute_cost_volume(left, right, cl, cr, opts)
+
+    # materialize stage inputs once
+    cost_init = jax.jit(stage_cost)(left, right, gray_l, gray_r)
+    arms = jax.jit(lambda l: arms_stage.build_arms(l, opts))(left)
+    cost_aggr = jax.jit(lambda c, a: agg_stage.aggregate(c, a, opts))(
+        cost_init, arms
+    )
+    cost_scan = jax.jit(
+        lambda c, l, r: scan_stage.scanline_optimize(c, l, r, opts)
+    )(cost_aggr, left, right)
+    disp_l = jax.jit(lambda c: wta_stage.wta_left(c, opts))(cost_scan)
+    disp_r = jax.jit(lambda c: wta_stage.wta_right(c, opts))(cost_scan)
+
+    stages = {
+        "cost": (stage_cost, (left, right, gray_l, gray_r)),
+        "arms": (
+            lambda l: arms_stage.build_arms(l, opts),
+            (left,),
+        ),
+        "aggregate": (
+            lambda c, a: agg_stage.aggregate(c, a, opts),
+            (cost_init, arms),
+        ),
+        "scanline": (
+            lambda c, l, r: scan_stage.scanline_optimize(c, l, r, opts),
+            (cost_aggr, left, right),
+        ),
+        "wta": (
+            lambda c: (wta_stage.wta_left(c, opts), wta_stage.wta_right(c, opts)),
+            (cost_scan,),
+        ),
+        "refine": (
+            lambda dl, dr, l, c, a: refine_stage.multistep_refine(
+                dl, dr, l, c, a, opts
+            )["final"],
+            (disp_l, disp_r, left, cost_scan, arms),
+        ),
+    }
+
+    def looped(fn, n):
+        @jax.jit
+        def run(*args):
+            def body(_, carry):
+                acc, args_b = carry
+                args_b = jax.lax.optimization_barrier(args_b)
+                out = fn(*args_b)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+                return acc, args_b
+            acc, _ = jax.lax.fori_loop(
+                0, n, body, (jnp.float32(0.0), args)
+            )
+            return acc
+        return run
+
+    # RPC floor: a null round-trip for reference
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+    rpc = time.perf_counter() - t0
+
+    total = 0.0
+    print(f"{pair_name} {w}x{h} D={opts.disp_range}  iters={iters}  "
+          f"(rpc floor ~{rpc * 1e3:.0f} ms)")
+    for name, (fn, args) in stages.items():
+        run = looped(fn, iters)
+        np.asarray(run(*args))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        dt = (time.perf_counter() - t0) / iters
+        total += dt
+        print(f"{name:>10}: {dt * 1e3:8.2f} ms   "
+              f"{work / dt / 1e6:9.1f} Mpix*disp/s")
+    print(f"{'sum':>10}: {total * 1e3:8.2f} ms   "
+          f"{work / total / 1e6:9.1f} Mpix*disp/s")
+
+
+if __name__ == "__main__":
+    main()
