@@ -197,14 +197,11 @@ def _cross_pass_pallas(
     k_planes: int | None = None,
 ) -> jnp.ndarray:
     d, h, w = vol.shape
-    # K d-planes per grid step; rank-3 blocks cost Mosaic extra VMEM
-    # copies, so K>1 only with headroom. Empirically calibrated on the
-    # 16 MB-VMEM chip: a 2.7 MB (4, 375, 450) f32 block compiles and is
-    # ~20% faster than K=1; a rank-3 555x653 block OOMs even at K=1
-    # (hence the rank-2 K==1 body).
-    k = k_planes or (
-        2 if d % 2 == 0 and 2 * h * w * 4 <= 1.4e6 else 1
-    )
+    # K=1: rank-2 bodies only. Rank-3 blocks cost Mosaic extra VMEM
+    # copies (a 555x653 rank-3 block OOMs scoped VMEM at K=1) and the
+    # measured K=2 mask-amortization gain is gone in the current kernel
+    # (8.0 ms vs 8.2 ms per pass on Cone, K=1 slightly ahead).
+    k = k_planes or 1
     arm_plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _cross_pass_kernel,

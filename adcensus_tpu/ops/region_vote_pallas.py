@@ -120,9 +120,9 @@ def _region_vote_pallas(
 ) -> jnp.ndarray:
     h, w = di.shape
     n_steps = -(-d_range // 4)  # 4 disparities per 8-bit-packed plane
-    # same empirical VMEM budget as cross_pass: K>1 only when the
-    # packed (K, H, W) i32 block stays small
-    k = 2 if n_steps % 2 == 0 and 2 * h * w * 4 <= 1.4e6 else 1
+    # K=1 (rank-2 bodies only): see cross_sum_pallas — rank-3 rolls cost
+    # Mosaic extra VMEM copies and no longer win on time
+    k = 1
     plane = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _region_vote_kernel, max_arm=max_arm, k_planes=k
