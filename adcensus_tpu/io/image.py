@@ -47,9 +47,62 @@ def load_gt_disparity(path: str, scale: float) -> np.ndarray:
             raw = raw[..., 0]
     if raw is None:
         raw = np.array(Image.open(path))
+        if raw.ndim == 3:  # match the native-codec path's channel-0 view
+            raw = raw[..., 0]
     raw = raw.astype(np.float32)
     gt = raw / scale
     gt[raw == 0] = np.nan
+    return gt
+
+
+def load_pfm(path: str) -> np.ndarray:
+    """Load a Middlebury ``.pfm`` disparity/float image as (H, W) or
+    (H, W, 3) float32, top row first.
+
+    Format: ``Pf``/``PF`` header, ``W H`` line, scale line whose sign is
+    the endianness (negative = little-endian), then rows bottom-to-top.
+    Middlebury-2014 GT marks unknown pixels as +inf; callers map those to
+    NaN via :func:`pfm_to_gt`.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header not in (b"Pf", b"PF"):
+            raise ValueError(f"{path}: not a PFM file (header {header!r})")
+        channels = 3 if header == b"PF" else 1
+        dims = f.readline().split()
+        while dims and dims[0].startswith(b"#"):  # comment lines
+            dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        dt = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(w * h * channels * 4), dtype=dt)
+    img = data.reshape(h, w, channels)[::-1]  # stored bottom-to-top
+    img = np.ascontiguousarray(img).astype(np.float32)
+    if abs(scale) not in (0.0, 1.0):
+        img = img * np.float32(abs(scale))
+    return img[..., 0] if channels == 1 else img
+
+
+def save_pfm(img: np.ndarray, path: str) -> None:
+    """Write a float32 (H, W) or (H, W, 3) array as little-endian PFM."""
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        header, data = b"Pf", img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        header, data = b"PF", img
+    else:
+        raise ValueError(f"PFM needs (H, W) or (H, W, 3), got {img.shape}")
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+        f.write(b"-1.0\n")  # negative scale = little-endian
+        f.write(np.ascontiguousarray(data[::-1]).astype("<f4").tobytes())
+
+
+def pfm_to_gt(disp: np.ndarray) -> np.ndarray:
+    """Middlebury-2014 PFM GT -> engine convention: inf (unknown) -> NaN."""
+    gt = disp.astype(np.float32).copy()
+    gt[~np.isfinite(gt)] = np.nan
     return gt
 
 
@@ -138,11 +191,12 @@ class StereoPair:
     def load(self) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
         left = load_image_rgb(self.left_path)
         right = load_image_rgb(self.right_path)
-        gt = (
-            load_gt_disparity(self.gt_path, self.gt_scale)
-            if self.gt_path
-            else None
-        )
+        if self.gt_path is None:
+            gt = None
+        elif self.gt_path.lower().endswith(".pfm"):
+            gt = pfm_to_gt(load_pfm(self.gt_path))
+        else:
+            gt = load_gt_disparity(self.gt_path, self.gt_scale)
         return left, right, gt
 
 
@@ -166,6 +220,12 @@ def get_pair(name: str, data_root: str = "/root/reference/Data") -> StereoPair:
         )
     lf, rf, gf, scale = _PAIR_FILES[name]
     base = os.path.join(data_root, name)
+    if gf is None:
+        # Middlebury-2014 pairs (Piano) ship GT as disp0.pfm; the bundled
+        # Data/ has none, but pick it up if the user drops one in
+        cand = os.path.join(base, "disp0.pfm")
+        if os.path.exists(cand):
+            gf = "disp0.pfm"
     dmin, dmax = load_d_range(os.path.join(base, "d_range.txt"))
     return StereoPair(
         name=name,

@@ -13,10 +13,32 @@ from adcensus_tpu.config import LARGE_FLOAT
 
 def resolve_use_pallas(use_pallas):
     """None -> auto: Pallas kernels on TPU, jnp fallbacks on CPU (tests
-    exercise the kernels separately in interpreter mode)."""
-    if use_pallas is None:
+    exercise the kernels separately in interpreter mode). The "matmul"
+    mode selects the MXU cross-operator backend but still means "use the
+    kernels" for the scanline/interpolation Pallas paths."""
+    if use_pallas is None or use_pallas == "matmul":
         return jax.default_backend() != "cpu"
-    return use_pallas
+    return bool(use_pallas)
+
+
+def resolve_cross_backend(use_pallas) -> str:
+    """Map the pipeline-wide kernel knob to a cross-operator backend.
+
+    None  -> "matmul" on TPU (MXU band-matrix path, the fast default),
+             "jnp" on CPU;
+    True  -> "pallas" (bit-exact masked-roll kernels);
+    False -> "jnp" (bit-exact roll mirror);
+    "matmul" / "pallas" / "jnp" pass through.
+    """
+    if use_pallas is None:
+        return "matmul" if jax.default_backend() != "cpu" else "jnp"
+    if use_pallas is True:
+        return "pallas"
+    if use_pallas is False:
+        return "jnp"
+    if use_pallas in ("matmul", "pallas", "jnp"):
+        return use_pallas
+    raise ValueError(f"unknown cross backend {use_pallas!r}")
 
 
 def lround(x: jnp.ndarray) -> jnp.ndarray:

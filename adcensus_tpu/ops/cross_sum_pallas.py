@@ -159,21 +159,31 @@ def cross_pass(
     max_arm: int,
     normalize: bool = True,
     use_pallas: bool | None = None,
+    masks=None,
 ) -> jnp.ndarray:
     """One cross-aggregation iteration over a (D, H, W) volume.
 
     arms: (H, W, 4) int (left, right, top, bottom); sup: (H, W) float32
-    support counts matching ``horizontal_first``. Dispatches to the Pallas
-    kernel on TPU and the exact jnp mirror on CPU.
+    support counts matching ``horizontal_first``. Backends (see
+    ops.basic.resolve_cross_backend): "matmul" (MXU band matrices, the
+    TPU default), "pallas" (bit-exact masked-roll kernel), "jnp"
+    (bit-exact roll mirror, the CPU default). ``masks`` are prebuilt
+    band matrices for the matmul backend.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
-    if max_arm > 127:
-        # the kernels store arms as int8 (and the voting kernel packs
-        # 8-bit row counts bounded by 2*max_arm+1); beyond 127 fall back
-        # to the exact jnp path rather than silently overflowing
-        use_pallas = False
-    if not use_pallas:
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import cross_pass_matmul
+
+    backend = resolve_cross_backend(use_pallas)
+    if backend == "pallas" and max_arm > 127:
+        # the roll kernel stores arms as int8; past 127 use the exact
+        # jnp mirror so explicit use_pallas=True keeps bit-exactness
+        backend = "jnp"
+    if backend == "matmul":
+        return cross_pass_matmul(
+            vol, arms, sup, horizontal_first, max_arm, normalize,
+            masks=masks,
+        )
+    if backend == "jnp":
         return cross_pass_ref(
             vol, arms, sup, horizontal_first, max_arm, normalize
         )

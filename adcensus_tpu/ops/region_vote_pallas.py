@@ -102,7 +102,10 @@ def _region_vote_kernel(
         for half in range(2):  # lo16 then hi16: d0+0/1 then d0+2/3
             rj = res[half] if k_planes == 1 else res[half][j]
             lo = rj & 0xFFFF
-            hi = rj >> 16
+            # mask after the shift: an arithmetic >> sign-extends when
+            # the odd-disparity region count >= 32768 (reachable for
+            # cross_L1 in 91..127, where (2*L1+1)^2 > 2^15)
+            hi = (rj >> 16) & 0xFFFF
             for d, cnt in ((d0 + 2 * half, lo), (d0 + 2 * half + 1, hi)):
                 upd = cnt > out_ref[1]
                 out_ref[0] = jnp.where(upd, d, out_ref[0])
@@ -153,19 +156,28 @@ def region_vote_stats(
     d_range: int,
     max_arm: int,
     use_pallas: bool | None = None,
+    masks=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(best_index, max_ht, count) of the cross-region disparity histogram.
 
     di: (H, W) int32 rounded disparity indices (0-based, pre-clipped);
-    valid: (H, W) bool; arms: (H, W, 4) int.
+    valid: (H, W) bool; arms: (H, W, 4) int. All three backends (matmul /
+    pallas / jnp) produce bit-identical integer statistics; ``masks`` are
+    prebuilt band matrices for the matmul backend.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
-    if max_arm > 127:
-        # int8 arm storage + 8-bit packed row counts overflow past 127;
-        # fall back to the exact one-hot mirror
-        use_pallas = False
-    if use_pallas:
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import region_vote_stats_matmul
+
+    backend = resolve_cross_backend(use_pallas)
+    if backend == "pallas" and max_arm > 127:
+        # the packed-histogram kernel's int8 arms / 8-bit row fields
+        # overflow past 127; the matmul path is exact at any arm length
+        backend = "matmul" if jax.default_backend() != "cpu" else "jnp"
+    if backend == "matmul":
+        return region_vote_stats_matmul(
+            di, valid, arms, d_range, max_arm, masks=masks
+        )
+    if backend == "pallas":
         out = _region_vote_pallas(di, valid, arms, d_range, max_arm)
         best, max_ht, count = out[0], out[1], out[2]
         # pixels whose whole region is empty: argmax(zeros) == 0, max 0

@@ -179,13 +179,21 @@ def _path_dists(img_a, img_b, axis, forward):
 
 
 def _pair_body(left, right, gray_l, gray_r,
-               opts: ADCensusOptions, dims, use_pallas: bool):
+               opts: ADCensusOptions, dims, use_pallas):
     """Per-shard computation for one pair. Inputs are the *unpadded*
     replicated (H, W)-level arrays; each shard redundantly performs the
     (cheap) image-level precomputation, pads, and then computes its own
-    (H_local, Wp) rows of the disparity map."""
+    (H_local, Wp) rows of the disparity map.
+
+    ``use_pallas`` is the raw pipeline knob: cross ops resolve it to a
+    backend (matmul/pallas/jnp); scanline/interpolation resolve it to a
+    kernels-on/off bool."""
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import band_masks
+
     (h, w, hp, wp, n_tile) = dims
     halo_pre = min(opts.cross_L1, MAX_ARM_LENGTH)
+    kern = resolve_use_pallas(use_pallas)  # scanline / interp kernels
 
     # replicated image-level precomputation on unpadded arrays (border
     # semantics of census/arms depend on the true image size)
@@ -244,6 +252,11 @@ def _pair_body(left, right, gray_l, gray_r,
     arms_halo = rows(arms, r0, h_local + 2 * halo)
     sup_h_halo = rows(sup_h, r0, h_local + 2 * halo).astype(jnp.float32)
     sup_v_halo = rows(sup_v, r0, h_local + 2 * halo).astype(jnp.float32)
+    cross_masks = (
+        band_masks(arms_halo, halo)
+        if resolve_cross_backend(use_pallas) == "matmul"
+        else None
+    )
     horizontal_first = True
     for _ in range(4):
         padded = _halo_rows(vol, halo, axis=1)
@@ -255,6 +268,7 @@ def _pair_body(left, right, gray_l, gray_r,
             halo,
             normalize=True,
             use_pallas=use_pallas,
+            masks=cross_masks,
         )
         vol = out[:, halo : halo + h_local]
         horizontal_first = not horizontal_first
@@ -268,7 +282,7 @@ def _pair_body(left, right, gray_l, gray_r,
             rows(d1, r0, h_local), rows(rd, r0, h_local), opts, w, 0, wp
         )
         vol = _scanline_with_code(
-            vol, code, opts, "x", fwd, valid_w, use_pallas
+            vol, code, opts, "x", fwd, valid_w, kern
         )
 
     # ---- reshard rows -> columns, vertical passes, reshard back --------
@@ -280,7 +294,7 @@ def _pair_body(left, right, gray_l, gray_r,
             rows(d1, c0, w_local, axis=1), rd, opts, w, c0, w_local
         )
         vol = _scanline_with_code(
-            vol, code, opts, "y", fwd, valid_h, use_pallas
+            vol, code, opts, "y", fwd, valid_h, kern
         )
     vol = jax.lax.all_to_all(vol, "tile", split_axis=1, concat_axis=2,
                              tiled=True)  # (D, h_local, wp)
@@ -318,7 +332,7 @@ def _pair_body(left, right, gray_l, gray_r,
             di, valid = refine_stage.vote_indices(dpad, opts)
             best, max_ht, count = region_vote_stats(
                 di, valid, arms_vote, opts.disp_range, halo,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, masks=cross_masks,
             )
             own = slice(halo, halo + h_local)
             return refine_stage.apply_vote_fill(

@@ -3,14 +3,23 @@
 The reference aggregates each disparity slice with two passes of per-pixel
 arm loops, 4 iterations alternating horizontal-first/vertical-first,
 re-aggregating its own output in place (cross_aggregator.cpp:89-118,
-327-394). Here each pass is an exact O(1)-per-pixel variable-window sum:
-``hsum(x) = cumsum[x + right] - cumsum[x - left - 1]`` over the (D, H, W)
-volume (SURVEY.md §7 key design decisions), with support counts computed by
-applying the same operator to ones (cross_aggregator.cpp:271-325).
+327-394). Two TPU formulations of the variable-arm windowed sums exist:
 
-Numerical note: the cumsum-difference evaluates the same real sum as the
-reference's sequential adds but with different float32 rounding order;
-stage tests use a small tolerance and the end-to-end gate is bad-2.0.
+* **MXU band-matrix matmuls** (the TPU default, ops/cross_matmul.py):
+  each pass is a batched matmul against 0/1 band matrices built from the
+  arms — the window sum costs MXU MACs instead of VPU mask-adds.
+  Different float32 rounding order than the reference's sequential adds
+  (~2^-17 relative); gated by the end-to-end bad-2.0 tolerance.
+* **Masked-roll kernels / jnp mirror** (use_pallas=True / False): 2L+1
+  masked roll-accumulations per pass in the reference's exact summation
+  order — bit-exact float parity, used by the golden stage tests.
+
+(SURVEY.md §7 sketched a cumsum-difference O(1) window sum; that was
+superseded — a per-pixel-indexed cumsum difference needs lane gathers,
+which the TPU has no fast path for, while the band matmul rides the MXU.)
+
+Support counts apply the same operator to ones
+(cross_aggregator.cpp:271-325) via cheap 2-D masked shifts.
 """
 from __future__ import annotations
 
@@ -69,15 +78,22 @@ def aggregate(
     ADCensusStereo.cpp:164) alternating horizontal-first / vertical-first,
     each normalizing by the matching support count.
 
-    The Pallas backend fuses both passes of an iteration into one kernel
-    with the plane resident in VMEM and reproduces the reference's
-    sequential summation order bit-exactly; the jnp backend uses
-    cumsum-difference window sums (tiny reassociation noise).
+    Backends: "matmul" (MXU band matrices, TPU default), "pallas" /
+    "jnp" (bit-exact masked rolls in the reference's summation order).
+    The band matrices are built once and reused across all iterations.
     """
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import band_masks
+
     max_arm = min(opts.cross_L1, MAX_ARM_LENGTH)
     sup_h, sup_v = support_counts(arms, max_arm)
     sup_h = sup_h.astype(jnp.float32)
     sup_v = sup_v.astype(jnp.float32)
+    masks = (
+        band_masks(arms, max_arm)
+        if resolve_cross_backend(use_pallas) == "matmul"
+        else None
+    )
 
     horizontal_first = True
     for _ in range(num_iters):
@@ -89,6 +105,7 @@ def aggregate(
             max_arm,
             normalize=True,
             use_pallas=use_pallas,
+            masks=masks,
         )
         horizontal_first = not horizontal_first
     return cost

@@ -88,6 +88,33 @@ def match_device(
                       use_pallas=use_pallas)["disparity"]
 
 
+def validate_inputs(
+    left: np.ndarray, right: np.ndarray, opts: ADCensusOptions
+) -> None:
+    """Fail fast on malformed inputs, mirroring the reference's guards
+    (ADCensusStereo.cpp:71-76 rejects null/absent data, Initialize rejects
+    non-positive dims, main.cpp:36-57 rejects mismatched loads)."""
+    for name, img in (("left", left), ("right", right)):
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(
+                f"{name} image must be (H, W, 3) RGB, got shape "
+                f"{tuple(img.shape)}"
+            )
+        if img.dtype != np.uint8:
+            raise TypeError(
+                f"{name} image must be uint8, got {img.dtype}"
+            )
+    if left.shape != right.shape:
+        raise ValueError(
+            f"left/right shapes differ: {tuple(left.shape)} vs "
+            f"{tuple(right.shape)}"
+        )
+    h, w = left.shape[:2]
+    if h <= 0 or w <= 0:
+        raise ValueError(f"image dimensions must be positive, got {w}x{h}")
+    opts.validate()
+
+
 def match(
     left: np.ndarray,
     right: np.ndarray,
@@ -104,7 +131,7 @@ def match(
         (cost_computor.cpp:69 truncates a double) for parity runs.
     """
     opts = opts or ADCensusOptions()
-    opts.validate()
+    validate_inputs(np.asarray(left), np.asarray(right), opts)
     if gray_mode == "host64":
         gray_l = cost_stage.compute_gray_host64(left)
         gray_r = cost_stage.compute_gray_host64(right)

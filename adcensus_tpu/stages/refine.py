@@ -84,6 +84,7 @@ def _region_histogram_stats(
     arms: jnp.ndarray,
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
+    masks=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For every pixel: disparity histogram over its cross support region
     (vertical arm of p crossed with each row anchor's horizontal arms —
@@ -102,6 +103,7 @@ def _region_histogram_stats(
         opts.disp_range,
         min(opts.cross_L1, MAX_ARM_LENGTH),
         use_pallas=use_pallas,
+        masks=masks,
     )
 
 
@@ -144,6 +146,7 @@ def region_vote_phase(
     target: jnp.ndarray,
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
+    masks=None,
 ) -> jnp.ndarray:
     """One voting phase. The expensive histogram is skipped entirely
     (lax.cond) when no targets remain — by then every later phase is a
@@ -151,7 +154,7 @@ def region_vote_phase(
 
     def do_phase(disp):
         best, max_ht, count = _region_histogram_stats(
-            disp, arms, opts, use_pallas
+            disp, arms, opts, use_pallas, masks
         )
         return apply_vote_fill(disp, target, best, max_ht, count, opts)
 
@@ -171,12 +174,22 @@ def iterative_region_voting(
     voting (multistep_refiner.cpp:153-227). Each phase short-circuits
     via region_vote_phase's no-targets-left lax.cond (an iteration-level
     converged-early gate was measured to cost more than it saves: the
-    outlier set rarely empties within 5 iterations)."""
+    outlier set rarely empties within 5 iterations). The matmul backend's
+    band matrices are built once and shared by all 10 phases."""
+    from adcensus_tpu.config import MAX_ARM_LENGTH
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import band_masks
+
+    masks = (
+        band_masks(arms, min(opts.cross_L1, MAX_ARM_LENGTH))
+        if resolve_cross_backend(use_pallas) == "matmul"
+        else None
+    )
     for _ in range(num_iters):
         for phase_mask in (mismatch, occlusion):
             target = phase_mask & ~jnp.isfinite(disp)
             disp = region_vote_phase(
-                disp, arms, target, opts, use_pallas
+                disp, arms, target, opts, use_pallas, masks
             )
     return disp
 
@@ -379,36 +392,69 @@ def depth_discontinuity_adjustment(
     opts: ADCensusOptions,
 ) -> jnp.ndarray:
     """Edge-pixel disparity adjustment (multistep_refiner.cpp:307-352),
-    dense approximation: neighbor disparities are read from the pre-update
-    map (the reference updates in place along x; default-off feature).
+    exact — including the reference's in-place x-propagation: the row
+    scan reads the *updated* left neighbor, so an adjustment can chain
+    rightward through consecutive edge pixels. That first-order
+    recurrence is a ``lax.scan`` over columns carrying (updated left
+    disparity, its cost at that disparity); all right-neighbor reads use
+    original values (x+1 is unprocessed when x is written).
 
     The reference indexes the cost volume with lround(d) without
-    subtracting min_disparity — faithful only for min_disparity == 0;
-    indices are clamped here.
+    subtracting min_disparity; out-of-range indices skip the pixel /
+    candidate (as in the oracle — the reference itself would read out of
+    bounds).
     """
     d_range, h, w = cost.shape
     edge = edge_detect(disp, 5.0)
-    valid = jnp.isfinite(disp)
 
-    def cost_at_own_disp(dmap: jnp.ndarray) -> jnp.ndarray:
-        """A[y,x] = cost[lround(dmap[y,x]), y, x] (clamped index)."""
+    def rounded_idx(dmap):
         v = jnp.isfinite(dmap)
-        idx = jnp.clip(
-            lround(jnp.where(v, dmap, 0.0)), 0, d_range - 1
-        )
+        di = lround(jnp.where(v, dmap, 0.0))
+        ok = v & (di >= 0) & (di < d_range)
+        return jnp.clip(di, 0, d_range - 1), ok
+
+    def cost_at(dmap):
+        """A[y,x] = cost[lround(dmap[y,x]), y, x] (clamped index)."""
+        idx, _ = rounded_idx(dmap)
         return jnp.take_along_axis(cost, idx[None], axis=0)[0]
 
-    own_cost = cost_at_own_disp(disp)
-    out_d = disp
-    out_c = own_cost
-    for dx in (-1, 1):
-        # neighbor disparity and the neighbor pixel's cost at that disparity
-        nd = shift2d(disp, 0, -dx, INVALID_FLOAT)
-        nc = shift2d(own_cost, 0, -dx, LARGE_FLOAT)
-        better = edge & valid & jnp.isfinite(nd) & (nc < out_c)
-        out_d = jnp.where(better, nd, out_d)
-        out_c = jnp.where(better, nc, out_c)
-    return out_d
+    own_cost = cost_at(disp)
+    _, own_ok = rounded_idx(disp)
+    rd = shift2d(disp, 0, -1, INVALID_FLOAT)   # original right neighbor
+    rc = shift2d(own_cost, 0, -1, LARGE_FLOAT)
+    _, r_ok = rounded_idx(rd)
+    interior = (jnp.arange(w) >= 1) & (jnp.arange(w) <= w - 2)
+
+    # per-column scan inputs, leading axis W
+    xs = (
+        disp.T, own_cost.T, own_ok.T, rd.T, rc.T, r_ok.T, edge.T,
+        jnp.transpose(cost, (2, 0, 1)),  # (W, D, H) column cost slices
+        interior,
+    )
+
+    def step(carry, x_in):
+        prev_d, prev_c, prev_ok = carry
+        d, c_own, ok_own, rd_, rc_, rok, e, colc, inter = x_in
+        act = inter & e & ok_own
+        new_d, c0 = d, c_own
+        take_l = act & prev_ok & (prev_c < c0)
+        new_d = jnp.where(take_l, prev_d, new_d)
+        c0 = jnp.where(take_l, prev_c, c0)
+        take_r = act & rok & (rc_ < c0)
+        new_d = jnp.where(take_r, rd_, new_d)
+        out_d = jnp.where(act, new_d, d)
+        # carry: this column's final value + its cost at that disparity
+        idx, ok = rounded_idx(out_d)
+        nc = jnp.take_along_axis(colc, idx[None], axis=0)[0]
+        return (out_d, nc, ok), out_d
+
+    init = (
+        jnp.full((h,), INVALID_FLOAT),
+        jnp.full((h,), LARGE_FLOAT),
+        jnp.zeros((h,), bool),
+    )
+    _, cols = jax.lax.scan(step, init, xs)
+    return cols.T
 
 
 def median_filter_3x3(

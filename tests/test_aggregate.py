@@ -31,6 +31,70 @@ def test_aggregate_pallas_matches_jnp_ref(small_opts, oracle_result):
     np.testing.assert_array_equal(out_p, out_j)
 
 
+def test_aggregate_matmul_close(small_opts, oracle_result):
+    """MXU band-matrix backend vs the bit-exact jnp mirror: the 2-term
+    bfloat16 split bounds the per-pass error at ~2^-17 relative."""
+    arms = oracle_result["arms"].astype(np.int32)
+    cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
+    out_m = np.array(
+        agg_stage.aggregate(
+            cost_init, arms, small_opts, use_pallas="matmul"
+        )
+    )
+    out_j = np.array(
+        agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=False)
+    )
+    np.testing.assert_allclose(out_m, out_j, atol=5e-4)
+
+
+def test_cross_matmul_any_arm_length():
+    """The matmul backend has no arm-length cap: random arms up to 130
+    (past the roll kernels' 127 fallback) match the exact jnp mirror,
+    and the voting statistics stay bit-exact integers through the
+    hi/lo bfloat16 split."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.ops.cross_matmul import (
+        cross_pass_matmul,
+        region_vote_stats_matmul,
+    )
+    from adcensus_tpu.ops.cross_sum_pallas import cross_pass_ref
+    from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
+
+    rng = np.random.default_rng(3)
+    h, w, d, max_arm = 40, 55, 12, 130
+    arms = rng.integers(0, max_arm + 1, size=(h, w, 4)).astype(np.int32)
+    ys, xs = np.arange(h)[:, None], np.arange(w)[None, :]
+    arms[..., 0] = np.minimum(arms[..., 0], xs)
+    arms[..., 1] = np.minimum(arms[..., 1], w - 1 - xs)
+    arms[..., 2] = np.minimum(arms[..., 2], ys)
+    arms[..., 3] = np.minimum(arms[..., 3], h - 1 - ys)
+    vol = rng.uniform(0, 2, size=(d, h, w)).astype(np.float32)
+    sup = np.ones((h, w), np.float32)
+    for hf in (True, False):
+        a = np.array(cross_pass_matmul(
+            jnp.asarray(vol), jnp.asarray(arms), jnp.asarray(sup),
+            hf, max_arm, normalize=False,
+        ))
+        b = np.array(cross_pass_ref(
+            jnp.asarray(vol), jnp.asarray(arms), jnp.asarray(sup),
+            hf, max_arm, normalize=False,
+        ))
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-2)
+
+    di = rng.integers(0, d, size=(h, w)).astype(np.int32)
+    valid = rng.random((h, w)) > 0.3
+    got = region_vote_stats_matmul(
+        jnp.asarray(di), jnp.asarray(valid), jnp.asarray(arms), d, max_arm
+    )
+    want = region_vote_stats(
+        jnp.asarray(di), jnp.asarray(valid), jnp.asarray(arms), d,
+        max_arm, use_pallas=False,
+    )
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.array(g), np.array(wv))
+
+
 def test_aggregate_near_exact(small_opts, oracle_result):
     """Both backends accumulate in the reference's sequential order; the
     only deviation is XLA keeping excess precision in the add chain

@@ -67,6 +67,26 @@ def test_graft_entry_shapes():
 import pytest
 
 
+def test_match_rejects_bad_inputs(small_pair, small_opts):
+    """Fail-fast guards mirroring ADCensusStereo.cpp:71-76 /
+    main.cpp:36-57: mismatched shapes, wrong dtype, wrong rank, and an
+    empty disparity range all raise before any device work."""
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.stages.pipeline import match
+
+    left, right = small_pair
+    with pytest.raises(ValueError, match="shapes differ"):
+        match(left, right[:-2], small_opts)
+    with pytest.raises(TypeError, match="uint8"):
+        match(left.astype(np.float32), right.astype(np.float32),
+              small_opts)
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        match(left[..., 0], right[..., 0], small_opts)
+    with pytest.raises(ValueError, match="must exceed"):
+        match(left, right, ADCensusOptions(min_disparity=8,
+                                           max_disparity=8))
+
+
 @pytest.mark.parametrize("dmin,dmax", [(2, 14), (-4, 8)])
 def test_nonzero_min_disparity_matches_oracle(small_pair, dmin, dmax):
     """min_disparity != 0 (including negative, for verged rigs) exercises

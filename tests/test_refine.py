@@ -121,6 +121,51 @@ def test_full_refine_close(small_pair, small_opts, oracle_result):
     assert (d <= 2.0).mean() > 0.99
 
 
+def test_dda_exact_vs_oracle(small_opts, oracle_result):
+    """Depth-discontinuity adjustment vs the oracle's sequential loop —
+    bitwise, including the in-place x-propagation (updated left
+    neighbors chain rightward through consecutive edge pixels)."""
+    disp = oracle_result["after_interpolation"].copy()
+    cost = oracle_result["cost_scan"]  # (H, W, D)
+    out = np.array(
+        refine_stage.depth_discontinuity_adjustment(
+            disp, _dhw(cost), small_opts
+        )
+    )
+    ref = numpy_ref.depth_discontinuity_adjustment(disp, cost, small_opts)
+    m = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(out), m)
+    np.testing.assert_array_equal(out[m], ref[m])
+
+
+def test_dda_inplace_chain_propagates():
+    """A synthetic row of consecutive edge pixels where each neighbor's
+    cost strictly decreases leftward: the reference's in-place scan
+    propagates the leftmost disparity across the whole chain — a dense
+    (pre-update-read) formulation would only move it one pixel."""
+    from adcensus_tpu.config import ADCensusOptions
+
+    h, w, d_range = 5, 10, 8
+    opts = ADCensusOptions(min_disparity=0, max_disparity=d_range)
+    disp = np.zeros((h, w), np.float32)
+    # center row: a staircase that trips the Sobel threshold everywhere
+    disp[2] = np.array([7, 0, 5, 6, 7, 6, 5, 6, 7, 0], np.float32)
+    cost = np.full((h, w, d_range), 9.0, np.float32)
+    for x in range(w):
+        # each pixel's own-disparity cost decreases leftward
+        cost[2, x, int(disp[2, x])] = float(x)
+    out = np.array(
+        refine_stage.depth_discontinuity_adjustment(
+            disp, np.transpose(cost, (2, 0, 1)), opts
+        )
+    )
+    ref = numpy_ref.depth_discontinuity_adjustment(disp, cost, opts)
+    np.testing.assert_array_equal(out, ref)
+    # the chain really propagated: some pixel > 1 step from the source
+    # took the propagated value
+    assert not np.array_equal(ref[2], disp[2])
+
+
 def test_region_vote_kernel_matches_jnp(small_opts, oracle_result):
     """Pallas voting-stats kernel (interpret mode on CPU) == the one-hot
     jnp mirror, including first-maximum tie-breaks and empty regions."""

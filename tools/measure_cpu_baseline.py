@@ -136,10 +136,12 @@ def main() -> None:
         print(json.dumps(r))
     summary = {
         "cpu": "single-thread reference C++ (g++ -O3 -march=native)",
-        "cone_seconds": results["Cone"]["seconds"],
-        "cone_mpixd_per_s": results["Cone"]["mpixd_per_s"],
         "pairs": results,
     }
+    cone = results.get("Cone")  # absent when --only skips Cone
+    if cone is not None:
+        summary["cone_seconds"] = cone["seconds"]
+        summary["cone_mpixd_per_s"] = cone["mpixd_per_s"]
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print("wrote BASELINE_MEASURED.json")
