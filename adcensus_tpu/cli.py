@@ -55,6 +55,18 @@ def run_pair(
 
 
 def main() -> None:
+    # honor JAX_PLATFORMS even under the axon sitecustomize, which
+    # registers the TPU backend at interpreter start and would otherwise
+    # silently override the env var (JAX_PLATFORMS=cpu subprocesses —
+    # e.g. the CLI tests — must NOT grab the TPU tunnel)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     from adcensus_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()

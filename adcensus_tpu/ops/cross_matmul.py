@@ -60,6 +60,16 @@ def band_masks(
     return mh.astype(dtype), mv.astype(dtype)
 
 
+def vote_band_masks(
+    arms: jnp.ndarray, max_arm: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Band masks in the dtype the voting-histogram matmuls want:
+    int8 while row counts fit (2*max_arm+1 <= 127, the MXU s8 mode),
+    bfloat16 otherwise."""
+    dt = jnp.int8 if 2 * max_arm + 1 <= 127 else jnp.bfloat16
+    return band_masks(arms, max_arm, dtype=dt)
+
+
 def _mm_h(mh: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
     """out[d, y, o] = sum_i mh[y, o, i] * vol[d, y, i] (f32 accumulate)."""
     return jnp.einsum(
@@ -78,10 +88,16 @@ def _mm_v(mv: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
 
 def _split_mm(mm, mask: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
     """2-term bfloat16 split matmul: exact for integer inputs < 2^17,
-    ~2^-17-relative for general float32 (masks are exact 0/1)."""
+    ~2^-17-relative for general float32 (masks are exact 0/1).
+
+    hi and lo are stacked along the free d axis into ONE matmul so the
+    band matrix is read from HBM once, not twice — mask traffic, not
+    FLOPs, dominates these passes."""
+    d = vol.shape[0]
     hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
     lo = vol - hi
-    return mm(mask, hi) + mm(mask, lo)
+    res = mm(mask, jnp.concatenate([hi, lo], axis=0))
+    return res[:d] + res[d:]
 
 
 def cross_pass_matmul(
@@ -123,19 +139,38 @@ def region_vote_stats_matmul(
 
     di: (H, W) int32 rounded 0-based disparities; valid: (H, W) bool.
     """
-    mh, mv = band_masks(arms, max_arm) if masks is None else masks
+    if masks is None:
+        masks = vote_band_masks(arms, max_arm)
+    mh, mv = masks
     onehot = (
         (di[None] == jnp.arange(d_range, dtype=di.dtype)[:, None, None])
         & valid[None]
     )
-    tmp = _mm_h(mh, onehot)  # exact row counts <= 2*max_arm+1
-    if 2 * max_arm + 1 > 255:
-        # counts past 255 are not bf16-exact; the hi/lo split is (ints
-        # <= 511 round to a multiple of 2, residual is 0/+-1)
-        hist = _split_mm(_mm_v, mv, tmp)
+    if 2 * max_arm + 1 <= 127:
+        # row counts fit int8: ride the MXU's s8 x s8 -> s32 mode — half
+        # the band-matrix HBM bytes and double the MAC rate vs bf16
+        # (callers build the masks as int8 via vote_band_masks)
+        mh8 = mh if mh.dtype == jnp.int8 else mh.astype(jnp.int8)
+        mv8 = mv if mv.dtype == jnp.int8 else mv.astype(jnp.int8)
+        tmp = jnp.einsum(
+            "yoi,dyi->dyo", mh8, onehot.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
+        hist = jnp.einsum(
+            "xoi,dix->dox", mv8, tmp.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
     else:
-        hist = _mm_v(mv, tmp)
-    hist = hist.astype(jnp.int32)
+        if mh.dtype != jnp.bfloat16:
+            mh, mv = mh.astype(jnp.bfloat16), mv.astype(jnp.bfloat16)
+        tmp = _mm_h(mh, onehot)  # exact row counts <= 2*max_arm+1
+        if 2 * max_arm + 1 > 255:
+            # counts past 255 are not bf16-exact; the hi/lo split is
+            # (ints <= 511 round to a multiple of 2, residual is 0/+-1)
+            hist = _split_mm(_mm_v, mv, tmp)
+        else:
+            hist = _mm_v(mv, tmp)
+        hist = hist.astype(jnp.int32)
     return (
         jnp.argmax(hist, axis=0).astype(jnp.int32),
         jnp.max(hist, axis=0),

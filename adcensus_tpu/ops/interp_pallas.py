@@ -4,10 +4,25 @@ The XLA formulation of ProperInterpolation (multistep_refiner.cpp:229-305)
 marches 16 rays x up to max_disparity steps, each step dynamic-slicing the
 padded disparity/color maps from HBM — ~12 ms of slice traffic on Cone.
 Here the padded maps sit in VMEM for the whole search: the grid runs the
-16 rays sequentially, each ray is an early-exiting while_loop over steps,
-and the cross-ray selection (first-minimum color distance for mismatches,
-minimum disparity for occlusions — multistep_refiner.cpp:276-296) is
-reduced directly into the output block, exactly like the voting kernel.
+16 rays sequentially, and the cross-ray selection (first-minimum color
+distance for mismatches, minimum disparity for occlusions —
+multistep_refiner.cpp:276-296) is reduced directly into the output block.
+
+The per-step cost is VPU-bound (each dynamic-offset load is an aligned
+block load + two lane/sublane rotates), and real maps always contain a
+few targets deep inside invalid regions that need the full-step march
+(measured: every ray's p100 is 50-63 steps on Cone, so any early-exit
+scheme runs the full loop anyway while paying its bookkeeping). The
+kernel therefore runs a straight ``fori_loop`` with register-carried
+state — Mosaic pipelines it well — and halves the dominant load count
+instead: the 3 uint8 color channels travel as ONE int32 plane
+(r | g<<8 | b<<16), unpacked with shifts after the rotate, so a
+mismatch step is 2 dynamic-offset loads instead of 4. ``target``
+marks the pixels whose fills are actually read (the caller writes
+``where(target, fill, disp)``); hits elsewhere are masked from the
+output. The caller pads with NaN beyond the border (in-image invalids
+are +inf), matching the reference's break-on-exit: a NaN cell can
+never be taken, and a straight ray never re-enters the image.
 
 Falls back to the XLA path when the padded maps exceed the VMEM budget
 (high-disparity configs like Piano d=[0,256) have pad = 257).
@@ -29,7 +44,7 @@ def _use_interpret() -> bool:
 
 
 def _ray_interp_kernel(
-    row0_ref, offs_ref, disp_ref, c0_ref, c1_ref, c2_ref, out_ref,
+    row0_ref, offs_ref, tgt_ref, disp_ref, cpk_ref, out_ref,
     *, r: int, w: int, pad: int, n_steps: int, is_mismatch: bool,
 ):
     ray = pl.program_id(0)
@@ -50,18 +65,18 @@ def _ray_interp_kernel(
         t = pad + dx
         t128 = pl.multiple_of((t // 128) * 128, 128)
         blk = ref[pl.ds(s8, rl), pl.ds(t128, wl)]
-        if blk.dtype == jnp.uint8:  # dynamic rotate needs 32-bit data
-            blk = blk.astype(jnp.int32)
         blk = pltpu.roll(blk, rl - (s - s8), axis=0)
         blk = pltpu.roll(blk, wl - (t - t128), axis=1)
         return blk[:r, :w]
 
+    def unpack(ci):
+        return ci & 0xFF, (ci >> 8) & 0xFF, (ci >> 16) & 0xFF
+
     if is_mismatch:
-        cen = [shifted(c_ref, 0, 0) for c_ref in (c0_ref, c1_ref, c2_ref)]
+        cen = unpack(shifted(cpk_ref, 0, 0))
 
     def body(j, carry):
-        # found carried as f32 0/1: Mosaic miscompiles (r, w) i1 loop
-        # carries (rank-3 packed-bool ori type mismatch)
+        # found carried as f32 0/1: Mosaic miscompiles (r, w) i1 carries
         found, val, key = carry
         dy = offs_ref[ray, j, 0]
         dx = offs_ref[ray, j, 1]
@@ -70,23 +85,24 @@ def _ray_interp_kernel(
         take = valid & (found == 0.0)
         val = jnp.where(take, cand, val)
         if is_mismatch:
-            dist = jnp.zeros((r, w), jnp.int32)
-            for c_ref, cen_c in zip((c0_ref, c1_ref, c2_ref), cen):
-                cc = shifted(c_ref, dy, dx)  # already int32
-                dist = dist + jnp.abs(cc - cen_c)
+            cr, cg, cb = unpack(shifted(cpk_ref, dy, dx))
+            dist = (
+                jnp.abs(cr - cen[0])
+                + jnp.abs(cg - cen[1])
+                + jnp.abs(cb - cen[2])
+            )
             key = jnp.where(take, dist.astype(jnp.float32), key)
         else:
             key = jnp.where(take, cand, key)
         return jnp.maximum(found, valid.astype(jnp.float32)), val, key
 
-    # fori, not while: Mosaic cannot lower scf.while with vector carries
     init = (
         jnp.zeros((r, w), jnp.float32),
         jnp.zeros((r, w), jnp.float32),
         jnp.full((r, w), BIG, jnp.float32),
     )
-    found, val, key = jax.lax.fori_loop(0, n_steps, body, init)
-    found = found > 0.0
+    _, val, key = jax.lax.fori_loop(0, n_steps, body, init)
+    found = (key < BIG) & (tgt_ref[...] > 0.0)
 
     @pl.when(ray == 0)
     def _():
@@ -110,6 +126,7 @@ def _ray_interp_pallas(
     disp_pad: jnp.ndarray,
     color_pad: jnp.ndarray,
     offsets: jnp.ndarray,
+    target: jnp.ndarray,
     row_offset: jnp.ndarray,
     r: int,
     w: int,
@@ -118,6 +135,8 @@ def _ray_interp_pallas(
 ):
     hp, wp = disp_pad.shape
     n_rays, n_steps, _ = offsets.shape
+    c = color_pad.astype(jnp.int32)
+    packed = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
     kernel = functools.partial(
         _ray_interp_kernel,
         r=r, w=w, pad=pad, n_steps=n_steps, is_mismatch=is_mismatch,
@@ -131,8 +150,7 @@ def _ray_interp_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets table
-            full((hp, wp)),
-            full((hp, wp)),
+            full((r, w)),
             full((hp, wp)),
             full((hp, wp)),
         ],
@@ -144,10 +162,9 @@ def _ray_interp_pallas(
     )(
         row_offset.astype(jnp.int32).reshape(1),
         offsets.astype(jnp.int32),
+        target.astype(jnp.float32),
         disp_pad,
-        color_pad[..., 0],
-        color_pad[..., 1],
-        color_pad[..., 2],
+        packed,
     )
     found = out[2] > 0.0
     return found, out[0], out[1]
@@ -156,8 +173,8 @@ def _ray_interp_pallas(
 def ray_interp_fits_vmem(h: int, w: int, pad: int) -> bool:
     """Conservative VMEM budget for the resident padded maps + state."""
     hp, wp = h + 2 * pad, w + 2 * pad
-    resident = hp * wp * (4 + 3)  # f32 disp + 3 uint8 color planes
-    state = 10 * h * w * 4       # carries, out block, slice temps
+    resident = hp * wp * (4 + 4)  # f32 disp + packed int32 colors
+    state = 14 * h * w * 4       # scratch, out block, slice temps
     return resident + state <= 11e6
 
 
@@ -170,16 +187,23 @@ def ray_interp_select(
     w: int,
     pad: int,
     is_mismatch: bool,
+    target: jnp.ndarray | None = None,
 ):
     """(found_any, fill_val) for rows [row_offset, row_offset+r).
 
-    disp_pad: (H+2pad, W+2pad) f32 with Invalid_Float padding;
-    color_pad: same spatial shape, (…, 3) uint8 (zero padding).
+    disp_pad: (H+2pad, W+2pad) f32, NaN beyond the border (terminal),
+    +inf for in-image invalids; color_pad: same spatial shape, (…, 3)
+    uint8 (zero padding); target: (r, w) bool — pixels whose fills will
+    actually be read (None = all; the march runs until every target
+    resolves).
     """
+    if target is None:
+        target = jnp.ones((r, w), bool)
     found, fill, _ = _ray_interp_pallas(
         disp_pad,
         color_pad,
         offsets,
+        target,
         jnp.asarray(row_offset),
         r,
         w,

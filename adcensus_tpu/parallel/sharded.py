@@ -178,29 +178,23 @@ def _path_dists(img_a, img_b, axis, forward):
     return d1, rd
 
 
-def _pair_body(left, right, gray_l, gray_r,
-               opts: ADCensusOptions, dims, use_pallas):
-    """Per-shard computation for one pair. Inputs are the *unpadded*
-    replicated (H, W)-level arrays; each shard redundantly performs the
-    (cheap) image-level precomputation, pads, and then computes its own
-    (H_local, Wp) rows of the disparity map.
+def _rows(x, start, count, axis=0):
+    return jax.lax.dynamic_slice_in_dim(x, start, count, axis=axis)
 
-    ``use_pallas`` is the raw pipeline knob: cross ops resolve it to a
-    backend (matmul/pallas/jnp); scanline/interpolation resolve it to a
-    kernels-on/off bool."""
-    from adcensus_tpu.ops.basic import resolve_cross_backend
-    from adcensus_tpu.ops.cross_matmul import band_masks
 
+def _precompute(left, right, gray_l, gray_r, opts: ADCensusOptions, dims):
+    """Replicated image-level precomputation, shared by both sharded
+    volume layouts. Census/arms/support are computed on *unpadded*
+    arrays (their border semantics depend on the true image size), then
+    padded to tile multiples; arms/sup additionally get `halo` extra
+    rows top+bottom so haloed row slabs are static slices."""
     (h, w, hp, wp, n_tile) = dims
-    halo_pre = min(opts.cross_L1, MAX_ARM_LENGTH)
-    kern = resolve_use_pallas(use_pallas)  # scanline / interp kernels
+    halo = min(opts.cross_L1, MAX_ARM_LENGTH)
 
-    # replicated image-level precomputation on unpadded arrays (border
-    # semantics of census/arms depend on the true image size)
     census_l = cost_stage.census_transform_9x7(gray_l)
     census_r = cost_stage.census_transform_9x7(gray_r)
     arms0 = arms_stage.build_arms(left, opts)
-    sup_h0, sup_v0 = agg_stage.support_counts(arms0, halo_pre)
+    sup_h0, sup_v0 = agg_stage.support_counts(arms0, halo)
 
     dists = {}
     for ax in ("x", "y"):
@@ -211,47 +205,66 @@ def _pair_body(left, right, gray_l, gray_r,
                 _pad_hw(rd, hp, wp, 0),
             )
 
-    census_l = _pad_hw(census_l, hp, wp, 0)
-    census_r = _pad_hw(census_r, hp, wp, 0)
-    # arms/sup get `halo` extra rows top+bottom for static haloed slices
-    arms = jnp.pad(
-        _pad_hw(arms0, hp, wp, 0), ((halo_pre, halo_pre), (0, 0), (0, 0))
+    return dict(
+        census_l=_pad_hw(census_l, hp, wp, 0),
+        census_r=_pad_hw(census_r, hp, wp, 0),
+        arms=jnp.pad(
+            _pad_hw(arms0, hp, wp, 0), ((halo, halo), (0, 0), (0, 0))
+        ),
+        sup_h=jnp.pad(
+            _pad_hw(sup_h0, hp, wp, 1), ((halo, halo), (0, 0)),
+            constant_values=1,
+        ),
+        sup_v=jnp.pad(
+            _pad_hw(sup_v0, hp, wp, 1), ((halo, halo), (0, 0)),
+            constant_values=1,
+        ),
+        left=_pad_hw(left, hp, wp, 0),
+        right=_pad_hw(right, hp, wp, 0),
+        dists=dists,
+        halo=halo,
     )
-    sup_h = jnp.pad(
-        _pad_hw(sup_h0, hp, wp, 1), ((halo_pre, halo_pre), (0, 0)),
-        constant_values=1,
-    )
-    sup_v = jnp.pad(
-        _pad_hw(sup_v0, hp, wp, 1), ((halo_pre, halo_pre), (0, 0)),
-        constant_values=1,
-    )
-    left = _pad_hw(left, hp, wp, 0)
-    right = _pad_hw(right, hp, wp, 0)
-    h_local = hp // n_tile
-    w_local = wp // n_tile
-    halo = min(opts.cross_L1, MAX_ARM_LENGTH)
-    i = jax.lax.axis_index("tile")
-    r0 = i * h_local
-    c0 = i * w_local
 
-    def rows(x, start, count, axis=0):
-        return jax.lax.dynamic_slice_in_dim(x, start, count, axis=axis)
+
+def _pair_body(left, right, gray_l, gray_r,
+               opts: ADCensusOptions, dims, use_pallas):
+    """Per-shard computation for one pair, volume sharded over image
+    ROWS end to end. Inputs are the *unpadded* replicated (H, W)-level
+    arrays; each shard redundantly performs the (cheap) image-level
+    precomputation, pads, and then computes its own (H_local, Wp) rows
+    of the disparity map.
+
+    ``use_pallas`` is the raw pipeline knob: cross ops resolve it to a
+    backend (matmul/pallas/jnp); scanline/interpolation resolve it to a
+    kernels-on/off bool."""
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import band_masks
+
+    (h, w, hp, wp, n_tile) = dims
+    pre = _precompute(left, right, gray_l, gray_r, opts, dims)
+    halo = pre["halo"]
+    h_local = hp // n_tile
+    r0 = jax.lax.axis_index("tile") * h_local
 
     # ---- cost initialization (row-local) ------------------------------
-    left_slab = rows(left, r0, h_local)
-    right_slab = rows(right, r0, h_local)
-    cl_slab = rows(census_l, r0, h_local)
-    cr_slab = rows(census_r, r0, h_local)
     vol = cost_stage.compute_cost_volume(
-        left_slab, right_slab, cl_slab, cr_slab, opts
+        _rows(pre["left"], r0, h_local),
+        _rows(pre["right"], r0, h_local),
+        _rows(pre["census_l"], r0, h_local),
+        _rows(pre["census_r"], r0, h_local),
+        opts,
     )  # (D, h_local, wp)
 
     # ---- cross aggregation with row halos -----------------------------
     # arms/sup were pre-padded with `halo` extra rows on top and bottom,
     # so the haloed slab aligns with rows [r0 - halo, r0 + h_local + halo)
-    arms_halo = rows(arms, r0, h_local + 2 * halo)
-    sup_h_halo = rows(sup_h, r0, h_local + 2 * halo).astype(jnp.float32)
-    sup_v_halo = rows(sup_v, r0, h_local + 2 * halo).astype(jnp.float32)
+    arms_halo = _rows(pre["arms"], r0, h_local + 2 * halo)
+    sup_h_halo = _rows(pre["sup_h"], r0, h_local + 2 * halo).astype(
+        jnp.float32
+    )
+    sup_v_halo = _rows(pre["sup_v"], r0, h_local + 2 * halo).astype(
+        jnp.float32
+    )
     cross_masks = (
         band_masks(arms_halo, halo)
         if resolve_cross_backend(use_pallas) == "matmul"
@@ -273,13 +286,96 @@ def _pair_body(left, right, gray_l, gray_r,
         vol = out[:, halo : halo + h_local]
         horizontal_first = not horizontal_first
 
+    return _tail_rows(vol, pre, opts, dims, use_pallas)
+
+
+def _pair_body_disp(left, right, gray_l, gray_r,
+                    opts: ADCensusOptions, dims, use_pallas):
+    """Per-shard computation for one pair, volume sharded over the
+    DISPARITY axis through cost init + aggregation, then resharded to
+    rows for the scanline/WTA/refine tail (SURVEY.md §7 hard part 3:
+    Piano-class D=256 full-res volumes exceed one chip's memory; both
+    phases hold 1/n of the volume).
+
+    Cost planes are embarrassingly parallel over d, and cross
+    aggregation never mixes d-planes — so phase 1 needs NO halo
+    exchange at all; the single all_to_all (split rows, concat d) is
+    the only extra collective vs the rows layout. The same mesh axis
+    ('tile') indexes d-blocks in phase 1 and row blocks afterwards."""
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import band_masks
+
+    (h, w, hp, wp, n_tile) = dims
+    pre = _precompute(left, right, gray_l, gray_r, opts, dims)
+    halo = pre["halo"]
+    d_range = opts.disp_range
+    if d_range % n_tile != 0:
+        raise ValueError(
+            f"disp_range {d_range} must be a multiple of the mesh "
+            f"size {n_tile} for volume_axis='disp'"
+        )
+    d_local = d_range // n_tile
+    d0 = jax.lax.axis_index("tile") * d_local
+
+    # ---- cost initialization: this shard's d-planes, full rows --------
+    vol_loc = cost_stage.compute_cost_planes(
+        pre["left"], pre["right"], pre["census_l"], pre["census_r"],
+        opts, d0, d_local,
+    )  # (d_local, hp, wp)
+
+    # ---- cross aggregation: plane-local, no halos ---------------------
+    arms_full = _rows(pre["arms"], halo, hp)
+    sup_h_full = _rows(pre["sup_h"], halo, hp).astype(jnp.float32)
+    sup_v_full = _rows(pre["sup_v"], halo, hp).astype(jnp.float32)
+    masks = (
+        band_masks(arms_full, halo)
+        if resolve_cross_backend(use_pallas) == "matmul"
+        else None
+    )
+    horizontal_first = True
+    for _ in range(4):
+        vol_loc = cross_pass(
+            vol_loc,
+            arms_full,
+            sup_h_full if horizontal_first else sup_v_full,
+            horizontal_first,
+            halo,
+            normalize=True,
+            use_pallas=use_pallas,
+            masks=masks,
+        )
+        horizontal_first = not horizontal_first
+
+    # ---- reshard: d-blocks -> row-blocks ------------------------------
+    vol = jax.lax.all_to_all(
+        vol_loc, "tile", split_axis=1, concat_axis=0, tiled=True
+    )  # (D, h_local, wp)
+    return _tail_rows(vol, pre, opts, dims, use_pallas)
+
+
+def _tail_rows(vol, pre, opts: ADCensusOptions, dims, use_pallas):
+    """Scanline -> WTA -> refinement on a row-sharded (D, H_local, Wp)
+    volume; returns this shard's (H_local, Wp) disparity rows."""
+    from adcensus_tpu.ops.basic import resolve_cross_backend
+    from adcensus_tpu.ops.cross_matmul import vote_band_masks
+
+    (h, w, hp, wp, n_tile) = dims
+    kern = resolve_use_pallas(use_pallas)  # scanline / interp kernels
+    halo = pre["halo"]
+    dists = pre["dists"]
+    h_local = hp // n_tile
+    w_local = wp // n_tile
+    i = jax.lax.axis_index("tile")
+    r0 = i * h_local
+    c0 = i * w_local
+
     # ---- scanline: horizontal passes (row-local) -----------------------
     valid_w = jnp.arange(wp) < w
     valid_h = jnp.arange(hp) < h
     for fwd in (True, False):
         d1, rd = dists[("x", fwd)]
         code = _code_volume(
-            rows(d1, r0, h_local), rows(rd, r0, h_local), opts, w, 0, wp
+            _rows(d1, r0, h_local), _rows(rd, r0, h_local), opts, w, 0, wp
         )
         vol = _scanline_with_code(
             vol, code, opts, "x", fwd, valid_w, kern
@@ -291,7 +387,7 @@ def _pair_body(left, right, gray_l, gray_r,
     for fwd in (True, False):
         d1, rd = dists[("y", fwd)]
         code = _code_volume(
-            rows(d1, c0, w_local, axis=1), rd, opts, w, c0, w_local
+            _rows(d1, c0, w_local, axis=1), rd, opts, w, c0, w_local
         )
         vol = _scanline_with_code(
             vol, code, opts, "y", fwd, valid_h, kern
@@ -321,7 +417,12 @@ def _pair_body(left, right, gray_l, gray_r,
 
     if opts.do_filling:
         # iterative region voting with row halos
-        arms_vote = rows(arms, r0, h_local + 2 * halo)
+        arms_vote = _rows(pre["arms"], r0, h_local + 2 * halo)
+        vote_masks = (
+            vote_band_masks(arms_vote, halo)
+            if resolve_cross_backend(use_pallas) == "matmul"
+            else None
+        )
         from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
 
         def vote_phase(disp, target):
@@ -332,7 +433,7 @@ def _pair_body(left, right, gray_l, gray_r,
             di, valid = refine_stage.vote_indices(dpad, opts)
             best, max_ht, count = region_vote_stats(
                 di, valid, arms_vote, opts.disp_range, halo,
-                use_pallas=use_pallas, masks=cross_masks,
+                use_pallas=use_pallas, masks=vote_masks,
             )
             own = slice(halo, halo + h_local)
             return refine_stage.apply_vote_fill(
@@ -346,12 +447,13 @@ def _pair_body(left, right, gray_l, gray_r,
 
         # proper interpolation: all-gather the (small) disparity map,
         # compute ray fills for own rows only
-        left_full = left  # replicated full padded image
+        left_full = pre["left"]  # replicated full padded image
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
         mism_target = mism & ~jnp.isfinite(disp)
         fills = refine_stage.interpolation_fills(
             full, left_full, opts, True, row_offset=r0,
             out_rows=h_local, use_pallas=use_pallas,
+            target=mism_target,
         )
         disp = jnp.where(mism_target, fills, disp)
         full = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
@@ -359,17 +461,18 @@ def _pair_body(left, right, gray_l, gray_r,
         fills = refine_stage.interpolation_fills(
             full, left_full, opts, False, row_offset=r0,
             out_rows=h_local, use_pallas=use_pallas,
+            target=occl_target,
         )
         disp = jnp.where(occl_target, fills, disp)
 
     if opts.do_discontinuity_adjustment:
         # 1-row disp halo for the Sobel mask, 1-row cost halo for the
-        # neighbor-cost lookups; DDA itself only reads x-neighbors, so
-        # the adjustment is row-local on the haloed slab. True image
-        # border rows/cols must keep their pre-DDA values (edge_detect
-        # zeroes them in the unsharded path; here halo rows of edge
-        # shards and column padding would otherwise leak in).
-        pre = disp
+        # neighbor-cost lookups; the DDA column scan is row-local on the
+        # haloed slab. True image border rows/cols must keep their
+        # pre-DDA values (edge_detect zeroes them in the unsharded path;
+        # here halo rows of edge shards and column padding would
+        # otherwise leak in).
+        before = disp
         dpad = _halo_rows(disp, 1, axis=0)
         vpad = _halo_rows(vol, 1, axis=1)
         adj = refine_stage.depth_discontinuity_adjustment(dpad, vpad, opts)
@@ -380,7 +483,7 @@ def _pair_body(left, right, gray_l, gray_r,
             & (jnp.arange(wp)[None, :] > 0)
             & (jnp.arange(wp)[None, :] < w - 1)
         )
-        disp = jnp.where(interior, adj, pre)
+        disp = jnp.where(interior, adj, before)
 
     # ---- median with 1-row halo and in-image mask -----------------------
     dpad = _halo_rows(disp, 1, axis=0)
@@ -392,7 +495,7 @@ def _pair_body(left, right, gray_l, gray_r,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "mesh", "use_pallas")
+    jax.jit, static_argnames=("opts", "mesh", "use_pallas", "volume_axis")
 )
 def match_sharded(
     left: jnp.ndarray,
@@ -402,19 +505,26 @@ def match_sharded(
     opts: ADCensusOptions,
     mesh: Mesh,
     use_pallas: bool | None = None,
+    volume_axis: str = "rows",
 ) -> jnp.ndarray:
-    """Row-sharded single-pair pipeline over the mesh's 'tile' axis.
+    """Sharded single-pair pipeline over the mesh's 'tile' axis.
+
+    volume_axis selects how the cost volume is partitioned through cost
+    init + aggregation: "rows" (halo exchange per iteration) or "disp"
+    (d-plane blocks, no halos, one extra all_to_all; fits Piano-class
+    D>=256 full-res volumes — SURVEY.md §7 hard part 3). The
+    scanline/WTA/refine tail is row-sharded either way.
 
     Inputs are unpadded (H, W[, 3]) arrays; returns the (H, W) disparity.
     """
-    use_pallas = resolve_use_pallas(use_pallas)
     h, w, _ = left.shape
     n_tile = mesh.shape["tile"]
     hp = _ceil_to(h, n_tile)
     wp = _ceil_to(w, n_tile)
     dims = (h, w, hp, wp, n_tile)
+    body_fn = {"rows": _pair_body, "disp": _pair_body_disp}[volume_axis]
     body = functools.partial(
-        _pair_body, opts=opts, dims=dims, use_pallas=use_pallas
+        body_fn, opts=opts, dims=dims, use_pallas=use_pallas
     )
     disp_p = jax.shard_map(
         body,
@@ -427,7 +537,7 @@ def match_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "mesh", "use_pallas")
+    jax.jit, static_argnames=("opts", "mesh", "use_pallas", "volume_axis")
 )
 def match_sharded_batched(
     lefts: jnp.ndarray,
@@ -437,18 +547,19 @@ def match_sharded_batched(
     opts: ADCensusOptions,
     mesh: Mesh,
     use_pallas: bool | None = None,
+    volume_axis: str = "rows",
 ) -> jnp.ndarray:
-    """Batch of pairs sharded over 'data', rows over 'tile':
+    """Batch of pairs sharded over 'data', volume over 'tile':
     (B, H, W, 3) stacks -> (B, H, W) disparities. B must be a multiple of
-    the mesh's data-axis size."""
-    use_pallas = resolve_use_pallas(use_pallas)
+    the mesh's data-axis size; volume_axis as in match_sharded."""
     b, h, w, _ = lefts.shape
     n_tile = mesh.shape["tile"]
     hp = _ceil_to(h, n_tile)
     wp = _ceil_to(w, n_tile)
     dims = (h, w, hp, wp, n_tile)
+    body_fn = {"rows": _pair_body, "disp": _pair_body_disp}[volume_axis]
     body = functools.partial(
-        _pair_body, opts=opts, dims=dims, use_pallas=use_pallas
+        body_fn, opts=opts, dims=dims, use_pallas=use_pallas
     )
     # batch axis = lax.map loop per shard (NOT vmap: vmap-of-pallas
     # miscompiled on TPU — see pipeline.match_batched_device)

@@ -131,6 +131,56 @@ def compute_cost_volume(
     return jnp.stack(planes, axis=0)
 
 
+def compute_cost_planes(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    census_l: jnp.ndarray,
+    census_r: jnp.ndarray,
+    opts: ADCensusOptions,
+    d0,
+    d_count: int,
+) -> jnp.ndarray:
+    """``d_count`` cost planes starting at *traced* disparity index ``d0``
+    — the disparity-sharded variant of :func:`compute_cost_volume` (each
+    shard builds its own d-plane block, so the plane offset is its
+    ``axis_index``). Dynamic shifts are dynamic slices of a
+    span-padded right image; values match compute_cost_volume exactly.
+    """
+    h, w, _ = left.shape
+    span = max(abs(opts.min_disparity), abs(opts.max_disparity)) + 1
+    left_i = left.astype(jnp.int32)
+    lam_ad = jnp.float32(opts.lambda_ad)
+    lam_cen = jnp.float32(opts.lambda_census)
+    right_p = jnp.pad(right, ((0, 0), (span, span), (0, 0)))
+    cen_r_p = jnp.pad(census_r, ((0, 0), (span, span), (0, 0)))
+    d0 = jnp.asarray(d0, jnp.int32)
+
+    planes = []
+    for di in range(d_count):
+        d = d0 + di + opts.min_disparity
+        # right image sampled at xr = x - d: slice starting at span - d
+        r_shift = jax.lax.dynamic_slice(
+            right_p, (0, span - d, 0), (h, w, 3)
+        ).astype(jnp.int32)
+        ad = jnp.sum(jnp.abs(left_i - r_shift), axis=-1).astype(
+            jnp.float32
+        ) / jnp.float32(3.0)
+        cen_r = jax.lax.dynamic_slice(
+            cen_r_p, (0, span - d, 0), (h, w, 2)
+        )
+        cen = hamming63(census_l, cen_r).astype(jnp.float32)
+        cost = (
+            jnp.float32(1.0)
+            - jnp.exp(-ad / lam_ad)
+            + jnp.float32(1.0)
+            - jnp.exp(-cen / lam_cen)
+        )
+        xr = jnp.arange(w)[None, :] - d
+        oob = (xr < 0) | (xr >= w)
+        planes.append(jnp.where(oob, jnp.float32(1.0), cost))
+    return jnp.stack(planes, axis=0)
+
+
 def census_packed_to_u64(census: np.ndarray) -> np.ndarray:
     """Host-side: packed (H, W, 2) uint32 -> uint64 signatures for
     comparison against the oracle."""

@@ -53,25 +53,55 @@ def outlier_detection(
     orig_valid = jnp.isfinite(disp_left)
     d = disp_left
 
+    # The epipolar lookups are per-pixel column gathers, but the gather
+    # offsets are bounded by the disparity range — so each is a short
+    # unrolled loop of static masked shifts (the TPU has no fast
+    # lane-gather; this trades ~D cheap fused selects for it). Offsets
+    # outside the loop ranges only occur at pixels whose gathered value
+    # is provably never read (see the range notes below).
+    def gather_by_offset(offs_map, lo, hi, fields, defaults):
+        outs = [
+            jnp.full_like(f, dflt) for f, dflt in zip(fields, defaults)
+        ]
+        for u in range(lo, hi + 1):
+            m = offs_map == u
+            outs = [
+                jnp.where(m, shift2d(f, 0, u, dflt), o)
+                for f, o, dflt in zip(fields, outs, defaults)
+            ]
+        return outs
+
     col_right = lround(x - jnp.where(orig_valid, d, 0.0))
     cr_in = (col_right >= 0) & (col_right < rw)
-    cr_idx = jnp.clip(col_right, 0, w - 1)
-    d_r = jnp.take_along_axis(disp_right, cr_idx, axis=1)
+    # x - col_right = lround(d) in [min_disp-1, max_disp+1] wherever the
+    # value matters (d_r feeds lr_fail, which needs orig_valid, and the
+    # reprojection, which needs lr_fail)
+    (d_r,) = gather_by_offset(
+        x - col_right,
+        opts.min_disparity - 1,
+        opts.max_disparity + 1,
+        (disp_right,),
+        (INVALID_FLOAT,),
+    )
     lr_fail = orig_valid & cr_in & (jnp.abs(d - d_r) > opts.lrcheck_thres)
 
     outlier = (~orig_valid) | (~cr_in) | lr_fail
     new_disp = jnp.where(outlier, INVALID_FLOAT, d)
 
-    # classification of lr_fail pixels via reprojection
+    # classification of lr_fail pixels via reprojection; x - col_rl =
+    # lround(d) - lround(d_r), both in [min-1, max+1], wherever read
+    # (occlusion needs lr_fail & rl_in, so finite d and d_r)
     col_rl = lround(col_right + d_r)
     rl_in = (col_rl > 0) & (col_rl < rw)
-    rl_idx = jnp.clip(col_rl, 0, w - 1)
-    d_l_orig = jnp.take_along_axis(d, rl_idx, axis=1)
+    span = opts.max_disparity - opts.min_disparity + 2
+    d_l_orig, rl_outlier, rl_valid = gather_by_offset(
+        x - col_rl, -span, span,
+        (d, outlier, orig_valid),
+        (INVALID_FLOAT, False, False),
+    )
     # the reference reads disp_left_ mid-scan: (y, col_rl) is already
     # invalidated iff col_rl < x and it is an outlier itself
-    rl_outlier = jnp.take_along_axis(outlier, rl_idx, axis=1)
-    rl_orig_invalid = ~jnp.take_along_axis(orig_valid, rl_idx, axis=1)
-    seen_invalid = (rl_outlier & (col_rl < x)) | rl_orig_invalid
+    seen_invalid = (rl_outlier & (col_rl < x)) | ~rl_valid
     d_l_eff = jnp.where(seen_invalid, INVALID_FLOAT, d_l_orig)
 
     occlusion = lr_fail & rl_in & (d_l_eff > d)
@@ -178,10 +208,10 @@ def iterative_region_voting(
     band matrices are built once and shared by all 10 phases."""
     from adcensus_tpu.config import MAX_ARM_LENGTH
     from adcensus_tpu.ops.basic import resolve_cross_backend
-    from adcensus_tpu.ops.cross_matmul import band_masks
+    from adcensus_tpu.ops.cross_matmul import vote_band_masks
 
     masks = (
-        band_masks(arms, min(opts.cross_L1, MAX_ARM_LENGTH))
+        vote_band_masks(arms, min(opts.cross_L1, MAX_ARM_LENGTH))
         if resolve_cross_backend(use_pallas) == "matmul"
         else None
     )
@@ -219,6 +249,7 @@ def _first_valid_along_rays(
     row_offset: int = 0,
     out_rows: int | None = None,
     need_color: bool = True,
+    target: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For each pixel of rows [row_offset, row_offset + out_rows) and each
     of the 16 rays, the first valid disparity along the ray and the color
@@ -226,16 +257,24 @@ def _first_valid_along_rays(
     hit (rays read the *full* map — the sharded pipeline passes an
     all-gathered map and computes only its own rows).
 
-    The march is a ``while_loop`` that stops once every pixel of every
-    ray has found a hit — on real maps that is a handful of steps, not
-    the max_disparity worst case.
+    The march is a ``while_loop`` that stops once every *target* pixel of
+    every ray has found a hit (``target`` marks the pixels whose fills
+    will be read; None = all) — on real maps that is a handful of steps,
+    not the max_disparity worst case.
 
-    Returns (found (16,R,W) bool, val (16,R,W) f32, dist (16,R,W) i32).
+    Returns (found (16,R,W) bool, val (16,R,W) f32, dist (16,R,W) i32);
+    found/val/dist are meaningful only at target pixels.
     """
     h, w = disp.shape
     r = h - row_offset if out_rows is None else out_rows
+    seed_done = (
+        jnp.zeros((r, w), bool) if target is None else ~target
+    )
     n_steps = offsets.shape[1]
-    disp_pad = jnp.pad(disp, pad, constant_values=INVALID_FLOAT)
+    # NaN beyond the border: a ray landing there has left the image and
+    # terminates (multistep_refiner.cpp:255-260's bounds break); +inf
+    # cells are in-image invalids the ray marches through
+    disp_pad = jnp.pad(disp, pad, constant_values=np.nan)
     left_pad = jnp.pad(
         left.astype(jnp.int32), ((pad, pad), (pad, pad), (0, 0))
     )
@@ -245,18 +284,18 @@ def _first_valid_along_rays(
 
     def ray_march(ray_offsets):
         def cond(carry):
-            i, found, _, _ = carry
-            return (i < n_steps) & ~jnp.all(found)
+            i, done, _, _, _ = carry
+            return (i < n_steps) & ~jnp.all(done)
 
         def body(carry):
-            i, found, val, dist = carry
+            i, done, hit, val, dist = carry
             off = jax.lax.dynamic_slice_in_dim(ray_offsets, i, 1)[0]
             dy, dx = off[0], off[1]
             cand = jax.lax.dynamic_slice(
                 disp_pad, (pad + row_offset + dy, pad + dx), (r, w)
             )
             cand_valid = jnp.isfinite(cand)
-            take = cand_valid & ~found
+            take = cand_valid & ~done
             val = jnp.where(take, cand, val)
             if need_color:  # occlusion fills never read colors
                 ccol = jax.lax.dynamic_slice(
@@ -266,16 +305,18 @@ def _first_valid_along_rays(
                 dist = jnp.where(
                     take, jnp.sum(jnp.abs(ccol - center), axis=-1), dist
                 )
-            return i + 1, found | cand_valid, val, dist
+            done = done | cand_valid | jnp.isnan(cand)
+            return i + 1, done, hit | take, val, dist
 
         init = (
             jnp.int32(0),
+            seed_done,
             jnp.zeros((r, w), bool),
             jnp.zeros((r, w), jnp.float32),
             jnp.zeros((r, w), jnp.int32),
         )
-        _, found, val, dist = jax.lax.while_loop(cond, body, init)
-        return found, val, dist
+        _, _, hit, val, dist = jax.lax.while_loop(cond, body, init)
+        return hit, val, dist
 
     return jax.vmap(ray_march)(offsets)
 
@@ -291,11 +332,13 @@ def proper_interpolation(
     """Single-device wrapper: both phases over the full map."""
     mism_target = mismatch & ~jnp.isfinite(disp)
     fill_m = interpolation_fills(disp, left, opts, True,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 target=mism_target)
     disp = jnp.where(mism_target, fill_m, disp)
     occl_target = occlusion & ~jnp.isfinite(disp)
     fill_o = interpolation_fills(disp, left, opts, False,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 target=occl_target)
     return jnp.where(occl_target, fill_o, disp)
 
 
@@ -307,6 +350,7 @@ def interpolation_fills(
     row_offset: int = 0,
     out_rows: int | None = None,
     use_pallas: bool | None = None,
+    target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """16-ray interpolation fill values (multistep_refiner.cpp:229-305)
     for rows [row_offset, row_offset + out_rows) of ``disp``.
@@ -319,6 +363,10 @@ def interpolation_fills(
     within a phase the reference also computes all fills before writing
     (two-phase, multistep_refiner.cpp:244), so phases are exact up to map
     state at phase start.
+
+    ``target``: (out_rows, W) bool marking the pixels whose fills will be
+    read (the still-invalid outliers of this phase). The ray march only
+    runs until every target has a hit; non-target outputs are arbitrary.
     """
     from adcensus_tpu.ops.basic import resolve_use_pallas
     from adcensus_tpu.ops.interp_pallas import (
@@ -338,9 +386,10 @@ def interpolation_fills(
         # the residue away, so aligned loads must stay in bounds
         er = (-(-(r + 8) // 8) * 8) - r
         ec = (-(-w // 128) * 128 + 128) - w
+        # NaN = beyond-border terminal cells (see _first_valid_along_rays)
         disp_pad = jnp.pad(
             disp, ((pad, pad + er), (pad, pad + ec)),
-            constant_values=INVALID_FLOAT,
+            constant_values=np.nan,
         )
         color_pad = jnp.pad(
             left.astype(jnp.uint8),
@@ -348,12 +397,13 @@ def interpolation_fills(
         )
         found_any, fill_val = ray_interp_select(
             disp_pad, color_pad, offsets, row_offset, r, w, pad,
-            is_mismatch,
+            is_mismatch, target=target,
         )
         return jnp.where(found_any, fill_val, 0.0)
 
     found, val, dist = _first_valid_along_rays(
-        disp, left, offsets, pad, row_offset, r, need_color=is_mismatch
+        disp, left, offsets, pad, row_offset, r,
+        need_color=is_mismatch, target=target,
     )
     if is_mismatch:
         dist = jnp.where(found, dist, 10**9)
@@ -475,19 +525,35 @@ def median_filter_3x3(
     """
     h, w = disp.shape
     if in_image is None:
-        in_image = jnp.ones((h, w), bool)
-    masked = jnp.where(in_image, disp, jnp.inf)
-    stack = []
-    counts = jnp.zeros((h, w), jnp.int32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            stack.append(shift2d(masked, -dy, -dx, jnp.inf))
-            counts = counts + shift2d(
-                in_image.astype(jnp.int32), -dy, -dx, 0
-            )
+        # unpadded map: the window population is a static function of
+        # border distance — no mask shifts needed
+        rows = 1 + (np.arange(h) > 0) + (np.arange(h) < h - 1)
+        cols = 1 + (np.arange(w) > 0) + (np.arange(w) < w - 1)
+        counts = jnp.asarray(
+            (rows[:, None] * cols[None, :]).astype(np.int32)
+        )
+        masked = disp
+    else:
+        masked = jnp.where(in_image, disp, jnp.inf)
+        counts = jnp.zeros((h, w), jnp.int32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                counts = counts + shift2d(
+                    in_image.astype(jnp.int32), -dy, -dx, 0
+                )
+    stack = [
+        shift2d(masked, -dy, -dx, jnp.inf)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
     s = jnp.sort(jnp.stack(stack, axis=0), axis=0)
-    idx = (jnp.maximum(counts, 1) // 2)[None]
-    return jnp.take_along_axis(s, idx, axis=0)[0]
+    idx = jnp.maximum(counts, 1) // 2
+    # per-pixel plane select instead of a major-axis gather (the TPU has
+    # no fast path for per-element gathers); idx only takes values 0..4
+    out = s[0]
+    for k in range(1, 5):
+        out = jnp.where(idx == k, s[k], out)
+    return out
 
 
 def multistep_refine(

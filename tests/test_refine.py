@@ -214,3 +214,30 @@ def test_ray_interp_kernel_matches_xla(small_pair, small_opts, oracle_result):
             )
         )
         np.testing.assert_array_equal(out, ref)
+
+
+def test_ray_interp_target_seeding(small_pair, small_opts, oracle_result):
+    """With a target mask, both backends' fills agree with the full-map
+    search at every target pixel (non-targets are don't-care)."""
+    import jax.numpy as jnp
+
+    left, _ = small_pair
+    disp = jnp.asarray(oracle_result["after_voting"])
+    target = ~jnp.isfinite(disp)
+    assert bool(target.any())
+    for is_mismatch in (True, False):
+        full = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=False,
+            )
+        )
+        t = np.asarray(target)
+        for up in (False, True):
+            out = np.asarray(
+                refine_stage.interpolation_fills(
+                    disp, jnp.asarray(left), small_opts, is_mismatch,
+                    use_pallas=up, target=target,
+                )
+            )
+            np.testing.assert_array_equal(out[t], full[t])

@@ -29,7 +29,7 @@ def sharded_opts():
     )
 
 
-def _run_both(left, right, opts, mesh):
+def _run_both(left, right, opts, mesh, **kw):
     gray_l = cost_stage.compute_gray_host64(np.asarray(left))
     gray_r = cost_stage.compute_gray_host64(np.asarray(right))
     ref = match_core(
@@ -40,7 +40,7 @@ def _run_both(left, right, opts, mesh):
     out = match_sharded(
         jnp.asarray(left), jnp.asarray(right),
         jnp.asarray(gray_l), jnp.asarray(gray_r),
-        opts, mesh,
+        opts, mesh, **kw,
     )
     return np.asarray(ref), np.asarray(out)
 
@@ -63,6 +63,94 @@ def test_sharded_equals_unsharded_odd_shape(small_pair, sharded_opts, mesh8):
     ref, out = _run_both(left, right, sharded_opts, mesh8)
     both = np.isfinite(ref) & np.isfinite(out)
     assert np.array_equal(np.isfinite(ref), np.isfinite(out))
+    np.testing.assert_allclose(out[both], ref[both], atol=5e-5)
+
+
+def test_disp_sharded_equals_unsharded(small_pair, sharded_opts, mesh8):
+    """volume_axis='disp': the cost volume is partitioned over d-plane
+    blocks through init+aggregation (D=16 over 8 shards -> 2 planes
+    each), then resharded to rows — must match the unsharded pipeline
+    (SURVEY.md §7 hard part 3, the Piano-class memory configuration)."""
+    left, right = small_pair
+    ref, out = _run_both(
+        left, right, sharded_opts, mesh8, volume_axis="disp"
+    )
+    assert np.array_equal(np.isfinite(ref), np.isfinite(out))
+    both = np.isfinite(ref) & np.isfinite(out)
+    np.testing.assert_allclose(out[both], ref[both], atol=5e-5)
+
+
+def test_disp_sharded_rejects_indivisible(small_pair, mesh8):
+    """disp_range not divisible by the mesh size fails fast."""
+    from adcensus_tpu.config import ADCensusOptions
+
+    left, right = small_pair
+    opts = ADCensusOptions(min_disparity=0, max_disparity=12, cross_L1=8)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        _run_both(left, right, opts, mesh8, volume_axis="disp")
+
+
+def test_batched_sharded_equals_core(small_pair, sharded_opts):
+    """match_sharded_batched over a (data=2, tile=4) mesh == match_core
+    per pair (VERDICT r1 #4: the data axis must be equality-tested, not
+    just dryrun-finite)."""
+    from adcensus_tpu.parallel.sharded import match_sharded_batched
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_tile=4)
+    left, right = small_pair
+    # two distinct pairs: the original and a flipped-contrast variant
+    l2 = np.ascontiguousarray(left[::-1])
+    r2 = np.ascontiguousarray(right[::-1])
+    lefts = np.stack([left, l2])
+    rights = np.stack([right, r2])
+    gls = np.stack(
+        [cost_stage.compute_gray_host64(x) for x in (left, l2)]
+    )
+    grs = np.stack(
+        [cost_stage.compute_gray_host64(x) for x in (right, r2)]
+    )
+    out = np.asarray(
+        match_sharded_batched(
+            jnp.asarray(lefts), jnp.asarray(rights),
+            jnp.asarray(gls), jnp.asarray(grs),
+            sharded_opts, mesh,
+        )
+    )
+    for b in range(2):
+        ref = np.asarray(
+            match_core(
+                jnp.asarray(lefts[b]), jnp.asarray(rights[b]),
+                jnp.asarray(gls[b]), jnp.asarray(grs[b]),
+                sharded_opts,
+            )["disparity"]
+        )
+        assert np.array_equal(np.isfinite(ref), np.isfinite(out[b]))
+        both = np.isfinite(ref) & np.isfinite(out[b])
+        np.testing.assert_allclose(out[b][both], ref[both], atol=5e-5)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="full-size virtual-mesh run takes minutes of XLA CPU "
+    "compile; set RUN_SLOW=1 to include",
+)
+def test_sharded_full_size_cone(mesh8):
+    """The full 450x375 D=64 Cone pair through the 8-way sharded
+    pipeline == unsharded (the small-crop tests can't exercise
+    full-scale halo/reshard geometry)."""
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.io.image import get_pair
+
+    pair = get_pair("Cone")
+    left, right, _ = pair.load()
+    opts = ADCensusOptions(
+        min_disparity=pair.dmin, max_disparity=pair.dmax
+    )
+    ref, out = _run_both(left, right, opts, mesh8)
+    assert np.array_equal(np.isfinite(ref), np.isfinite(out))
+    both = np.isfinite(ref) & np.isfinite(out)
     np.testing.assert_allclose(out[both], ref[both], atol=5e-5)
 
 

@@ -61,6 +61,12 @@ def main() -> None:
         np.asarray(outs[-1])
         dt = (time.perf_counter() - t0) / iters
 
+        # max-parity mode: bit-exact host64 gray + the masked-roll
+        # kernels that reproduce the reference's float summation order
+        disp_exact = pipeline.match(
+            left, right, opts, gray_mode="host64", use_pallas=True
+        )["disparity"]
+
         row = {
             "pair": label,
             "h": h,
@@ -69,6 +75,11 @@ def main() -> None:
             "seconds": round(dt, 4),
             "mpixd_per_s": round(work / dt / 1e6, 1),
             **{k: round(v, 3) for k, v in evaluate(disp, gt).items()},
+            **{
+                f"exact_{k}": round(v, 3)
+                for k, v in evaluate(disp_exact, gt).items()
+                if k == "bad_2_0_pct"
+            },
         }
         ref_base = base.get("pairs", {}).get(label, {})
         if "mpixd_per_s" in ref_base:
@@ -87,6 +98,10 @@ def main() -> None:
             row["validity_agree_ref"] = round(
                 agree["validity_agreement"], 4
             )
+            agree_e = disparity_agreement(disp_exact, ref_disp, tol=0.5)
+            row["exact_agree_ref_tol0.5"] = round(
+                agree_e["value_agreement"], 4
+            )
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -96,17 +111,26 @@ def main() -> None:
         f"Backend: {jax.default_backend()} (1 chip). "
         "Reference numbers from BASELINE_MEASURED.json; agreement is the "
         "fraction of co-valid pixels within 0.5 disparity of the "
-        "reference binary's own output (tests/golden).",
+        "reference binary's own output (tests/golden). 'fast' = device "
+        "f32 gray + MXU matmul cross ops (the serving path); 'parity' = "
+        "bit-exact host64 gray + masked-roll kernels in the reference's "
+        "summation order (remaining differences are the documented "
+        "dense-vs-sequential refinement semantics).",
         "",
-        "| pair | size | D | bad-2.0 % (ours) | bad-2.0 % (ref) | "
-        "agree@0.5 | Mpix·disp/s | speedup vs CPU ref |",
-        "|---|---|---|---|---|---|---|---|",
+        "| pair | size | D | bad-2.0 % (fast) | bad-2.0 % (parity) | "
+        "bad-2.0 % (ref) | agree@0.5 fast | agree@0.5 parity | "
+        "Mpix·disp/s | speedup vs CPU ref |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['pair']} | {r['w']}x{r['h']} | {r['d']} | "
-            f"{r.get('bad_2_0_pct', '-')} | {r.get('ref_bad_2_0_pct', '-')} | "
-            f"{r.get('agree_ref_tol0.5', '-')} | {r['mpixd_per_s']} | "
+            f"{r.get('bad_2_0_pct', '-')} | "
+            f"{r.get('exact_bad_2_0_pct', '-')} | "
+            f"{r.get('ref_bad_2_0_pct', '-')} | "
+            f"{r.get('agree_ref_tol0.5', '-')} | "
+            f"{r.get('exact_agree_ref_tol0.5', '-')} | "
+            f"{r['mpixd_per_s']} | "
             f"{r.get('speedup_vs_cpu_ref', '-')}x |"
         )
     lines.append("")

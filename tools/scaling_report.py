@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual mesh)")
+    ap.add_argument("--volume-axis", default="rows",
+                    choices=["rows", "disp"],
+                    help="cost-volume partitioning through init+aggregation")
+    ap.add_argument("--unsharded-base", action="store_true",
+                    help="also time the unsharded single-chip pipeline "
+                    "as the efficiency base (sharding-overhead mode)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -69,16 +75,37 @@ def main() -> None:
     n_dev = len(jax.devices())
     rows = []
     base = None
+    if args.unsharded_base:
+        from adcensus_tpu.stages.pipeline import match_core_jit
+
+        out = match_core_jit(l, r, gl, gr, opts)["disparity"]
+        np.asarray(out)
+        t0 = time.perf_counter()
+        outs = [
+            match_core_jit(l, r, gl, gr, opts)["disparity"]
+            for _ in range(args.iters)
+        ]
+        np.asarray(outs[-1])
+        dt = (time.perf_counter() - t0) / args.iters
+        base = (1, work / dt / 1e6)
+        rows.append({
+            "tiles": 0,
+            "note": "unsharded match_core (efficiency base)",
+            "seconds": round(dt, 4),
+            "mpixd_per_s": round(base[1], 2),
+        })
+        print(json.dumps(rows[-1]), flush=True)
     for nt in args.tiles:
         if nt > n_dev:
             print(f"# skip tile={nt}: only {n_dev} devices")
             continue
         mesh = make_mesh(n_data=1, n_tile=nt)
-        out = match_sharded(l, r, gl, gr, opts, mesh)
+        va = args.volume_axis
+        out = match_sharded(l, r, gl, gr, opts, mesh, volume_axis=va)
         np.asarray(out)  # compile + true fence
         t0 = time.perf_counter()
         outs = [
-            match_sharded(l, r, gl, gr, opts, mesh)
+            match_sharded(l, r, gl, gr, opts, mesh, volume_axis=va)
             for _ in range(args.iters)
         ]
         np.asarray(outs[-1])
@@ -102,6 +129,7 @@ def main() -> None:
                 "pair": args.pair,
                 "backend": jax.default_backend(),
                 "devices": n_dev,
+                "volume_axis": args.volume_axis,
                 "rows": rows,
             }
         )

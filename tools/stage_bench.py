@@ -8,7 +8,9 @@ loop carry each iteration so XLA cannot hoist the stage out of the
 loop), and only the final scalar is fetched — the RPC cost is amortized
 to <2 ms/stage at N=50.
 
-Usage: python tools/stage_bench.py [pair] [iters]
+Usage: python tools/stage_bench.py [pair] [iters] [--refine-detail]
+(--refine-detail additionally times the refinement sub-stages:
+LR check, voting, interpolation, median, DDA.)
 """
 from __future__ import annotations
 
@@ -38,8 +40,10 @@ def main() -> None:
     from adcensus_tpu.stages import scanline as scan_stage
     from adcensus_tpu.stages import wta as wta_stage
 
-    pair_name = sys.argv[1] if len(sys.argv) > 1 else "Cone"
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    argv = [a for a in sys.argv[1:] if a != "--refine-detail"]
+    refine_detail = "--refine-detail" in sys.argv[1:]
+    pair_name = argv[0] if argv else "Cone"
+    iters = int(argv[1]) if len(argv) > 1 else 50
     pair = get_pair(pair_name)
     left_np, right_np, _ = pair.load()
     h, w, _ = left_np.shape
@@ -94,6 +98,49 @@ def main() -> None:
         ),
     }
 
+    if refine_detail:
+        disp0, occl, mism = jax.jit(
+            lambda a, b: refine_stage.outlier_detection(a, b, opts)
+        )(disp_l, disp_r)
+        after_vote = jax.jit(
+            lambda d, a, o, m: refine_stage.iterative_region_voting(
+                d, a, o, m, opts
+            )
+        )(disp0, arms, occl, mism)
+        after_interp = jax.jit(
+            lambda d, l, o, m: refine_stage.proper_interpolation(
+                d, l, o, m, opts
+            )
+        )(after_vote, left, occl, mism)
+        stages.update({
+            "  lr_check": (
+                lambda a, b: refine_stage.outlier_detection(a, b, opts)[0],
+                (disp_l, disp_r),
+            ),
+            "  voting": (
+                lambda d, a, o, m: refine_stage.iterative_region_voting(
+                    d, a, o, m, opts
+                ),
+                (disp0, arms, occl, mism),
+            ),
+            "  interp": (
+                lambda d, l, o, m: refine_stage.proper_interpolation(
+                    d, l, o, m, opts
+                ),
+                (after_vote, left, occl, mism),
+            ),
+            "  median": (
+                lambda d: refine_stage.median_filter_3x3(d),
+                (after_interp,),
+            ),
+            "  dda": (
+                lambda d, c: refine_stage.depth_discontinuity_adjustment(
+                    d, c, opts
+                ),
+                (after_interp, cost_scan),
+            ),
+        })
+
     def looped(fn, n):
         @jax.jit
         def run(*args):
@@ -124,7 +171,8 @@ def main() -> None:
         t0 = time.perf_counter()
         np.asarray(run(*args))
         dt = (time.perf_counter() - t0) / iters
-        total += dt
+        if not name.startswith(" "):  # detail rows don't re-count
+            total += dt
         print(f"{name:>10}: {dt * 1e3:8.2f} ms   "
               f"{work / dt / 1e6:9.1f} Mpix*disp/s")
     print(f"{'sum':>10}: {total * 1e3:8.2f} ms   "
