@@ -24,8 +24,15 @@ output. The caller pads with NaN beyond the border (in-image invalids
 are +inf), matching the reference's break-on-exit: a NaN cell can
 never be taken, and a straight ray never re-enters the image.
 
-Falls back to the XLA path when the padded maps exceed the VMEM budget
-(high-disparity configs like Piano d=[0,256) have pad = 257).
+High-disparity configs (Piano d=[0,256) has pad = 257) would blow the
+VMEM budget if the maps carried 2*pad of physical NaN padding, so a
+second **coordinate mode** stores the maps with only small alignment
+margins: loads clamp their start into the buffer and a per-step
+coordinate-rectangle mask plays the role of the NaN moat (wrapped /
+clamped rows are exactly the out-of-image probes, so the mask also
+hides rotate wraparound). Costs a few extra VPU compares per step;
+only used when the padded form does not fit. Falls back to the XLA
+path only when even the margin-only maps exceed VMEM.
 """
 from __future__ import annotations
 
@@ -46,27 +53,37 @@ def _use_interpret() -> bool:
 def _ray_interp_kernel(
     row0_ref, offs_ref, tgt_ref, disp_ref, cpk_ref, out_ref,
     *, r: int, w: int, pad: int, n_steps: int, is_mismatch: bool,
+    bounds: tuple | None = None,
 ):
     ray = pl.program_id(0)
     row0 = row0_ref[0]
 
     rl = -(-(r + 8) // 8) * 8        # block rows, 8-aligned
     wl = -(-w // 128) * 128 + 128    # block cols, 128-aligned
+    hp_buf, wp_buf = disp_ref.shape
 
     def shifted(ref, dy, dx):
-        """ref[pad+row0+dy : +r, pad+dx : +w] with arbitrary offsets:
+        """ref[base+row0+dy : +r, base+dx : +w] with arbitrary offsets:
         Mosaic requires dynamic-slice starts AND rotate shapes aligned
         to the (8, 128) tile, so load an aligned (rl, wl) block and
         rotate the residues away (the caller padded rl-r extra bottom
         rows and wl-w extra right columns so the block stays in
-        bounds)."""
-        s = pad + row0 + dy
-        s8 = pl.multiple_of((s // 8) * 8, 8)
-        t = pad + dx
-        t128 = pl.multiple_of((t // 128) * 128, 128)
+        bounds). In coordinate mode (bounds != None) the start is also
+        clamped into the buffer; wrapped/clamped cells are exactly the
+        out-of-image probes, masked by the coordinate rectangle."""
+        base = 0 if bounds is not None else pad
+        s = base + row0 + dy
+        s8 = (s // 8) * 8
+        t = base + dx
+        t128 = (t // 128) * 128
+        if bounds is not None:
+            s8 = jnp.clip(s8, 0, hp_buf - rl)
+            t128 = jnp.clip(t128, 0, wp_buf - wl)
+        s8 = pl.multiple_of(s8, 8)
+        t128 = pl.multiple_of(t128, 128)
         blk = ref[pl.ds(s8, rl), pl.ds(t128, wl)]
-        blk = pltpu.roll(blk, rl - (s - s8), axis=0)
-        blk = pltpu.roll(blk, wl - (t - t128), axis=1)
+        blk = pltpu.roll(blk, (rl - (s - s8)) % rl, axis=0)
+        blk = pltpu.roll(blk, (wl - (t - t128)) % wl, axis=1)
         return blk[:r, :w]
 
     def unpack(ci):
@@ -74,6 +91,12 @@ def _ray_interp_kernel(
 
     if is_mismatch:
         cen = unpack(shifted(cpk_ref, 0, 0))
+    if bounds is not None:
+        h_img, w_img = bounds
+        ii = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, w), 0) + row0
+        )  # image row of each output pixel
+        jj = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
 
     def body(j, carry):
         # found carried as f32 0/1: Mosaic miscompiles (r, w) i1 carries
@@ -82,6 +105,13 @@ def _ray_interp_kernel(
         dx = offs_ref[ray, j, 1]
         cand = shifted(disp_ref, dy, dx)
         valid = jnp.isfinite(cand)
+        if bounds is not None:
+            ri = ii + dy
+            ci = jj + dx
+            in_img = (
+                (ri >= 0) & (ri < h_img) & (ci >= 0) & (ci < w_img)
+            )
+            valid = valid & in_img
         take = valid & (found == 0.0)
         val = jnp.where(take, cand, val)
         if is_mismatch:
@@ -120,7 +150,7 @@ def _ray_interp_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "w", "pad", "is_mismatch")
+    jax.jit, static_argnames=("r", "w", "pad", "is_mismatch", "bounds")
 )
 def _ray_interp_pallas(
     disp_pad: jnp.ndarray,
@@ -132,6 +162,7 @@ def _ray_interp_pallas(
     w: int,
     pad: int,
     is_mismatch: bool,
+    bounds: tuple | None = None,
 ):
     hp, wp = disp_pad.shape
     n_rays, n_steps, _ = offsets.shape
@@ -140,6 +171,7 @@ def _ray_interp_pallas(
     kernel = functools.partial(
         _ray_interp_kernel,
         r=r, w=w, pad=pad, n_steps=n_steps, is_mismatch=is_mismatch,
+        bounds=bounds,
     )
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -170,12 +202,52 @@ def _ray_interp_pallas(
     return found, out[0], out[1]
 
 
-def ray_interp_fits_vmem(h: int, w: int, pad: int) -> bool:
-    """Conservative VMEM budget for the resident padded maps + state."""
+_VMEM_BUDGET = 11e6  # scoped-VMEM limit is ~16 MB; leave headroom
+
+
+def _state_bytes(r: int, w: int) -> int:
+    """Loop carries (3) + out block (3) + unpacked centers (3) + live
+    temps (~2), each an (r, w) 32-bit plane."""
+    return 11 * r * w * 4
+
+
+def ray_interp_fits_vmem(h: int, w: int, pad: int, r: int) -> bool:
+    """VMEM budget for padded mode with r output rows per kernel call
+    (callers chunk rows so the state shrinks; the resident maps always
+    hold the full padded image)."""
     hp, wp = h + 2 * pad, w + 2 * pad
     resident = hp * wp * (4 + 4)  # f32 disp + packed int32 colors
-    state = 14 * h * w * 4       # scratch, out block, slice temps
-    return resident + state <= 11e6
+    return resident + _state_bytes(r, w) <= _VMEM_BUDGET
+
+
+def coord_buffer_dims(h_img: int, w: int, r: int):
+    """(H', W') of the margin-only buffers for coordinate mode: tall
+    enough for clamped aligned (rl, wl) block loads, no ray padding."""
+    rl = -(-(r + 8) // 8) * 8
+    wl = -(-w // 128) * 128 + 128
+    hb = max(-(-h_img // 8) * 8 + 8, rl)
+    return hb, wl
+
+
+def coord_interp_fits_vmem(h_img: int, w: int, r: int) -> bool:
+    """VMEM budget for coordinate mode (pad-independent)."""
+    hb, wb = coord_buffer_dims(h_img, w, r)
+    resident = hb * wb * (4 + 4)
+    return resident + _state_bytes(r, w) <= _VMEM_BUDGET
+
+
+def pick_row_chunk(fits, r: int, min_chunk: int = 32):
+    """Largest row-chunk size (halving from r) whose kernel state fits
+    the VMEM budget, or None if even ``min_chunk`` does not fit.
+    ``fits``: callable r_chunk -> bool."""
+    rc = r
+    while rc >= min_chunk:
+        if fits(rc):
+            return rc
+        rc = -(-rc // 2)
+        if rc == r:  # safety for tiny r
+            break
+    return min_chunk if fits(min_chunk) else None
 
 
 def ray_interp_select(
@@ -188,14 +260,17 @@ def ray_interp_select(
     pad: int,
     is_mismatch: bool,
     target: jnp.ndarray | None = None,
+    bounds: tuple | None = None,
 ):
     """(found_any, fill_val) for rows [row_offset, row_offset+r).
 
-    disp_pad: (H+2pad, W+2pad) f32, NaN beyond the border (terminal),
-    +inf for in-image invalids; color_pad: same spatial shape, (…, 3)
-    uint8 (zero padding); target: (r, w) bool — pixels whose fills will
-    actually be read (None = all; the march runs until every target
-    resolves).
+    Padded mode (bounds None): disp_pad is (H+2pad, W+2pad) f32, NaN
+    beyond the border, +inf for in-image invalids. Coordinate mode
+    (bounds = (h_img, w_img)): disp_pad carries only alignment margins
+    (see coord_buffer_dims) and out-of-image probes are masked by
+    coordinates instead of NaN cells. color_pad: same spatial shape,
+    (…, 3) uint8; target: (r, w) bool — pixels whose fills will
+    actually be read (None = all).
     """
     if target is None:
         target = jnp.ones((r, w), bool)
@@ -209,5 +284,6 @@ def ray_interp_select(
         w,
         pad,
         is_mismatch,
+        bounds=bounds,
     )
     return found, fill

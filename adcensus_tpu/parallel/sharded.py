@@ -205,9 +205,15 @@ def _precompute(left, right, gray_l, gray_r, opts: ADCensusOptions, dims):
                 _pad_hw(rd, hp, wp, 0),
             )
 
+    h_, w_ = census_l.shape[1:]
     return dict(
-        census_l=_pad_hw(census_l, hp, wp, 0),
-        census_r=_pad_hw(census_r, hp, wp, 0),
+        # census is (2, H, W): pad the spatial axes
+        census_l=jnp.pad(
+            census_l, ((0, 0), (0, hp - h_), (0, wp - w_))
+        ),
+        census_r=jnp.pad(
+            census_r, ((0, 0), (0, hp - h_), (0, wp - w_))
+        ),
         arms=jnp.pad(
             _pad_hw(arms0, hp, wp, 0), ((halo, halo), (0, 0), (0, 0))
         ),
@@ -250,8 +256,8 @@ def _pair_body(left, right, gray_l, gray_r,
     vol = cost_stage.compute_cost_volume(
         _rows(pre["left"], r0, h_local),
         _rows(pre["right"], r0, h_local),
-        _rows(pre["census_l"], r0, h_local),
-        _rows(pre["census_r"], r0, h_local),
+        _rows(pre["census_l"], r0, h_local, axis=1),
+        _rows(pre["census_r"], r0, h_local, axis=1),
         opts,
     )  # (D, h_local, wp)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adcensus_tpu.config import ADCensusOptions
-from adcensus_tpu.ops.basic import shift2d
+from adcensus_tpu.ops.basic import shift2d, shift_last
 
 # 9x7 census window offsets in reference bit order: row -4..4 outer,
 # col -3..3 inner, MSB first (adcensus_util.cpp:25-32). Bit k (0 = first
@@ -50,8 +50,12 @@ def compute_gray_host64(img: np.ndarray) -> np.ndarray:
 
 
 def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
-    """63-bit census signature per pixel, packed as (H, W, 2) uint32
-    [hi = bits 62..32 (first 31 comparisons), lo = bits 31..0].
+    """63-bit census signature per pixel, packed as (2, H, W) uint32
+    [plane 0 = bits 62..32 (first 31 comparisons), plane 1 = bits 31..0].
+
+    The word axis is LEADING, not trailing: a trailing length-2 minor
+    axis gets padded to the 128-lane tile in XLA temps (observed 128x
+    HBM expansion on rematerialized copies); leading axes tile freely.
 
     Border pixels (rows <4/>=h-4, cols <3/>=w-3) are zero, matching the
     reference (adcensus_util.cpp:17-18 loop bounds).
@@ -77,15 +81,15 @@ def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
         valid = jnp.zeros((h, w), dtype=bool)
     hi = jnp.where(valid, hi, 0)
     lo = jnp.where(valid, lo, 0)
-    return jnp.stack([hi, lo], axis=-1)
+    return jnp.stack([hi, lo], axis=0)
 
 
 def hamming63(census_a: jnp.ndarray, census_b: jnp.ndarray) -> jnp.ndarray:
-    """Hamming distance between packed census signatures (...,2) uint32
-    (adcensus_util.cpp:42-53)."""
+    """Hamming distance between packed census signatures (2, H, W)
+    uint32 (adcensus_util.cpp:42-53)."""
     x = census_a ^ census_b
     pc = jax.lax.population_count(x)
-    return (pc[..., 0] + pc[..., 1]).astype(jnp.int32)
+    return (pc[0] + pc[1]).astype(jnp.int32)
 
 
 def compute_cost_volume(
@@ -116,7 +120,7 @@ def compute_cost_volume(
         ad = jnp.sum(jnp.abs(left_i - r_shift), axis=-1).astype(
             jnp.float32
         ) / jnp.float32(3.0)
-        cen_r = shift2d(census_r, 0, d, 0)
+        cen_r = shift_last(census_r, d, 0)
         cen = hamming63(census_l, cen_r).astype(jnp.float32)
         cost = (
             jnp.float32(1.0)
@@ -152,7 +156,7 @@ def compute_cost_planes(
     lam_ad = jnp.float32(opts.lambda_ad)
     lam_cen = jnp.float32(opts.lambda_census)
     right_p = jnp.pad(right, ((0, 0), (span, span), (0, 0)))
-    cen_r_p = jnp.pad(census_r, ((0, 0), (span, span), (0, 0)))
+    cen_r_p = jnp.pad(census_r, ((0, 0), (0, 0), (span, span)))
     d0 = jnp.asarray(d0, jnp.int32)
 
     planes = []
@@ -166,7 +170,7 @@ def compute_cost_planes(
             jnp.float32
         ) / jnp.float32(3.0)
         cen_r = jax.lax.dynamic_slice(
-            cen_r_p, (0, span - d, 0), (h, w, 2)
+            cen_r_p, (0, 0, span - d), (2, h, w)
         )
         cen = hamming63(census_l, cen_r).astype(jnp.float32)
         cost = (
@@ -182,8 +186,8 @@ def compute_cost_planes(
 
 
 def census_packed_to_u64(census: np.ndarray) -> np.ndarray:
-    """Host-side: packed (H, W, 2) uint32 -> uint64 signatures for
+    """Host-side: packed (2, H, W) uint32 -> uint64 signatures for
     comparison against the oracle."""
-    hi = census[..., 0].astype(np.uint64)
-    lo = census[..., 1].astype(np.uint64)
+    hi = census[0].astype(np.uint64)
+    lo = census[1].astype(np.uint64)
     return (hi << np.uint64(32)) | lo

@@ -342,6 +342,10 @@ def proper_interpolation(
     return jnp.where(occl_target, fill_o, disp)
 
 
+def _chunk_target(target, r: int, w: int) -> jnp.ndarray:
+    return jnp.ones((r, w), bool) if target is None else target
+
+
 def interpolation_fills(
     disp: jnp.ndarray,
     left: jnp.ndarray,
@@ -370,6 +374,9 @@ def interpolation_fills(
     """
     from adcensus_tpu.ops.basic import resolve_use_pallas
     from adcensus_tpu.ops.interp_pallas import (
+        coord_buffer_dims,
+        coord_interp_fits_vmem,
+        pick_row_chunk,
         ray_interp_fits_vmem,
         ray_interp_select,
     )
@@ -379,27 +386,86 @@ def interpolation_fills(
     max_search = max(abs(opts.max_disparity), abs(opts.min_disparity))
     offsets = jnp.asarray(ray_offset_table(max_search))
     pad = int(max_search) + 1
+    kern = resolve_use_pallas(use_pallas)
 
-    if resolve_use_pallas(use_pallas) and ray_interp_fits_vmem(h, w, pad):
-        # extra bottom rows / right columns: the kernel loads
-        # (8, 128)-aligned blocks of aligned shape (Mosaic) and rotates
-        # the residue away, so aligned loads must stay in bounds
-        er = (-(-(r + 8) // 8) * 8) - r
-        ec = (-(-w // 128) * 128 + 128) - w
-        # NaN = beyond-border terminal cells (see _first_valid_along_rays)
-        disp_pad = jnp.pad(
-            disp, ((pad, pad + er), (pad, pad + ec)),
-            constant_values=np.nan,
+    def run_chunked(select_rows, rc):
+        """Drive the kernel in rc-row chunks (its carry state scales
+        with rows; the resident maps are shared). The final chunk is
+        shifted up to overlap instead of recompiling a remainder
+        shape — overlapped rows compute identically."""
+        if rc >= r:
+            fa, fv = select_rows(row_offset, r)
+            return jnp.where(fa, fv, 0.0)
+        n_chunks = -(-r // rc)
+        parts = []
+        for k in range(n_chunks):
+            ro = min(k * rc, r - rc)
+            fa, fv = select_rows(row_offset + ro, rc)
+            out_k = jnp.where(fa, fv, 0.0)
+            lo = k * rc
+            hi = min((k + 1) * rc, r)
+            parts.append(out_k[lo - ro : hi - ro])
+        return jnp.concatenate(parts, axis=0)
+
+    if kern:
+        rc_pad = pick_row_chunk(
+            lambda rc: ray_interp_fits_vmem(h, w, pad, rc), r
         )
-        color_pad = jnp.pad(
-            left.astype(jnp.uint8),
-            ((pad, pad + er), (pad, pad + ec), (0, 0)),
+        if rc_pad is not None:
+            # extra bottom rows / right columns: the kernel loads
+            # (8, 128)-aligned blocks of aligned shape (Mosaic) and
+            # rotates the residue away, so aligned loads must stay in
+            # bounds. NaN = beyond-border terminal cells.
+            er = (-(-(rc_pad + 8) // 8) * 8) + 8
+            ec = (-(-w // 128) * 128 + 128) - w
+            disp_pad = jnp.pad(
+                disp, ((pad, pad + er), (pad, pad + ec)),
+                constant_values=np.nan,
+            )
+            color_pad = jnp.pad(
+                left.astype(jnp.uint8),
+                ((pad, pad + er), (pad, pad + ec), (0, 0)),
+            )
+
+            def sel(ro, rr):
+                return ray_interp_select(
+                    disp_pad, color_pad, offsets, ro, rr, w, pad,
+                    is_mismatch,
+                    target=jax.lax.dynamic_slice_in_dim(
+                        _chunk_target(target, r, w), ro - row_offset, rr
+                    ),
+                )
+
+            return run_chunked(sel, rc_pad)
+
+        rc_coord = pick_row_chunk(
+            lambda rc: coord_interp_fits_vmem(h, w, rc), r
         )
-        found_any, fill_val = ray_interp_select(
-            disp_pad, color_pad, offsets, row_offset, r, w, pad,
-            is_mismatch, target=target,
-        )
-        return jnp.where(found_any, fill_val, 0.0)
+        if rc_coord is not None:
+            # high-disparity configs (Piano d=[0,256): pad 257 overflows
+            # the padded-map budget): margin-only buffers + coordinate
+            # masks keep the search in VMEM instead of the HBM slice path
+            hb, wb = coord_buffer_dims(h, w, rc_coord)
+            disp_nm = jnp.pad(
+                disp, ((0, hb - h), (0, wb - w)),
+                constant_values=np.nan,
+            )
+            color_nm = jnp.pad(
+                left.astype(jnp.uint8),
+                ((0, hb - h), (0, wb - w), (0, 0)),
+            )
+
+            def sel(ro, rr):
+                return ray_interp_select(
+                    disp_nm, color_nm, offsets, ro, rr, w, 0,
+                    is_mismatch,
+                    target=jax.lax.dynamic_slice_in_dim(
+                        _chunk_target(target, r, w), ro - row_offset, rr
+                    ),
+                    bounds=(h, w),
+                )
+
+            return run_chunked(sel, rc_coord)
 
     found, val, dist = _first_valid_along_rays(
         disp, left, offsets, pad, row_offset, r,

@@ -216,6 +216,69 @@ def test_ray_interp_kernel_matches_xla(small_pair, small_opts, oracle_result):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_ray_interp_coord_mode_matches_xla(
+    small_pair, small_opts, oracle_result, monkeypatch
+):
+    """Coordinate mode (margin-only buffers + rectangle masks, the
+    Piano-256 VMEM strategy) == the XLA path bitwise. Forced by failing
+    the padded-mode VMEM check."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.ops import interp_pallas
+
+    monkeypatch.setattr(
+        interp_pallas, "ray_interp_fits_vmem", lambda *a: False
+    )
+    left, _ = small_pair
+    disp = jnp.asarray(oracle_result["after_voting"])
+    for is_mismatch in (True, False):
+        ref = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=False,
+            )
+        )
+        out = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_ray_interp_row_chunked_matches_xla(
+    small_pair, small_opts, oracle_result, monkeypatch
+):
+    """Row-chunked kernel driving (VMEM state scales with the chunk, so
+    large pairs run the kernel in slabs incl. an overlapped final
+    chunk) == the XLA path bitwise. Forced via a tiny chunk size."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.ops import interp_pallas
+
+    monkeypatch.setattr(
+        interp_pallas, "pick_row_chunk", lambda fits, r, min_chunk=32: 16
+    )
+    left, _ = small_pair
+    disp = jnp.asarray(oracle_result["after_voting"])
+    assert disp.shape[0] == 36  # 3 chunks of 16 with an overlapped tail
+    for is_mismatch in (True, False):
+        ref = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=False,
+            )
+        )
+        out = np.asarray(
+            refine_stage.interpolation_fills(
+                disp, jnp.asarray(left), small_opts, is_mismatch,
+                use_pallas=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_ray_interp_target_seeding(small_pair, small_opts, oracle_result):
     """With a target mask, both backends' fills agree with the full-map
     search at every target pixel (non-targets are don't-care)."""

@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--unsharded-base", action="store_true",
                     help="also time the unsharded single-chip pipeline "
                     "as the efficiency base (sharding-overhead mode)")
+    ap.add_argument("--crop", type=int, nargs=2, metavar=("H", "W"),
+                    help="crop the pair to HxW (virtual-mesh structure "
+                    "runs: XLA CPU compiles of full-size unrolled-D "
+                    "shard_map programs take tens of minutes)")
+    ap.add_argument("--dmax", type=int,
+                    help="override the disparity range upper bound")
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,9 +68,14 @@ def main() -> None:
 
     pair = get_pair(args.pair)
     left, right, _ = pair.load()
+    if args.crop:
+        ch, cw = args.crop
+        left = left[:ch, :cw]
+        right = right[:ch, :cw]
     h, w, _ = left.shape
     opts = ADCensusOptions(
-        min_disparity=pair.dmin, max_disparity=pair.dmax
+        min_disparity=pair.dmin,
+        max_disparity=args.dmax if args.dmax else pair.dmax,
     )
     work = h * w * opts.disp_range
     gl = cost_stage.compute_gray_host64(left)
@@ -127,6 +138,7 @@ def main() -> None:
         json.dumps(
             {
                 "pair": args.pair,
+                "h": h, "w": w, "d": opts.disp_range,
                 "backend": jax.default_backend(),
                 "devices": n_dev,
                 "volume_axis": args.volume_axis,
