@@ -101,8 +101,8 @@ def _ray_interp_kernel(
     def body(j, carry):
         # found carried as f32 0/1: Mosaic miscompiles (r, w) i1 carries
         found, val, key = carry
-        dy = offs_ref[ray, j, 0]
-        dx = offs_ref[ray, j, 1]
+        dy = offs_ref[0, j, 0]
+        dx = offs_ref[0, j, 1]
         cand = shifted(disp_ref, dy, dx)
         valid = jnp.isfinite(cand)
         if bounds is not None:
@@ -181,7 +181,13 @@ def _ray_interp_pallas(
         grid=(n_rays,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets table
+            # one ray's offsets per grid step: the full table exceeds
+            # the 1 MB SMEM at n_steps 127 (SMEM pads each element to
+            # ~512 B)
+            pl.BlockSpec(
+                (1, n_steps, 2), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             full((r, w)),
             full((hp, wp)),
             full((hp, wp)),
@@ -202,29 +208,44 @@ def _ray_interp_pallas(
     return found, out[0], out[1]
 
 
-_VMEM_BUDGET = 11e6  # scoped-VMEM limit is ~16 MB; leave headroom
+_VMEM_BUDGET = 12e6  # scoped-VMEM limit is ~16 MB; leave headroom
+
+
+def _block_dims(r: int, w: int):
+    """Aligned (rl, wl) load-block dims for r output rows."""
+    rl = -(-(r + 8) // 8) * 8
+    wl = -(-w // 128) * 128 + 128
+    return rl, wl
 
 
 def _state_bytes(r: int, w: int) -> int:
     """Loop carries (3) + out block (3) + unpacked centers (3) + live
-    temps (~2), each an (r, w) 32-bit plane."""
-    return 11 * r * w * 4
+    temps (~2), each an (r, w) 32-bit plane, plus two live aligned
+    load blocks."""
+    rl, wl = _block_dims(r, w)
+    return 11 * r * w * 4 + 2 * rl * wl * 4
+
+
+def padded_buffer_dims(h: int, w: int, pad: int, r: int):
+    """(H', W') of the padded-mode buffers: 2*pad NaN moat plus the
+    bottom/right margins that keep aligned (rl, wl) loads in bounds."""
+    rl, wl = _block_dims(r, w)
+    return h + 2 * pad + rl + 8, w + 2 * pad + (wl - w)
 
 
 def ray_interp_fits_vmem(h: int, w: int, pad: int, r: int) -> bool:
     """VMEM budget for padded mode with r output rows per kernel call
     (callers chunk rows so the state shrinks; the resident maps always
     hold the full padded image)."""
-    hp, wp = h + 2 * pad, w + 2 * pad
-    resident = hp * wp * (4 + 4)  # f32 disp + packed int32 colors
+    hb, wb = padded_buffer_dims(h, w, pad, r)
+    resident = hb * wb * (4 + 4)  # f32 disp + packed int32 colors
     return resident + _state_bytes(r, w) <= _VMEM_BUDGET
 
 
 def coord_buffer_dims(h_img: int, w: int, r: int):
     """(H', W') of the margin-only buffers for coordinate mode: tall
     enough for clamped aligned (rl, wl) block loads, no ray padding."""
-    rl = -(-(r + 8) // 8) * 8
-    wl = -(-w // 128) * 128 + 128
+    rl, wl = _block_dims(r, w)
     hb = max(-(-h_img // 8) * 8 + 8, rl)
     return hb, wl
 

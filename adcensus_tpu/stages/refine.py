@@ -416,8 +416,11 @@ def interpolation_fills(
             # (8, 128)-aligned blocks of aligned shape (Mosaic) and
             # rotates the residue away, so aligned loads must stay in
             # bounds. NaN = beyond-border terminal cells.
-            er = (-(-(rc_pad + 8) // 8) * 8) + 8
-            ec = (-(-w // 128) * 128 + 128) - w
+            from adcensus_tpu.ops.interp_pallas import padded_buffer_dims
+
+            hb, wb = padded_buffer_dims(h, w, pad, rc_pad)
+            er = hb - h - 2 * pad
+            ec = wb - w - 2 * pad
             disp_pad = jnp.pad(
                 disp, ((pad, pad + er), (pad, pad + ec)),
                 constant_values=np.nan,

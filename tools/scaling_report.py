@@ -44,6 +44,10 @@ def main() -> None:
                     "shard_map programs take tens of minutes)")
     ap.add_argument("--dmax", type=int,
                     help="override the disparity range upper bound")
+    ap.add_argument("--cross-l1", type=int,
+                    help="override the cross arm cap (short arms keep "
+                    "XLA CPU compiles of the virtual-mesh program "
+                    "tractable; same collective structure)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,9 +77,13 @@ def main() -> None:
         left = left[:ch, :cw]
         right = right[:ch, :cw]
     h, w, _ = left.shape
+    kw = {}
+    if args.cross_l1:
+        kw.update(cross_L1=args.cross_l1, cross_L2=args.cross_l1 // 2)
     opts = ADCensusOptions(
         min_disparity=pair.dmin,
         max_disparity=args.dmax if args.dmax else pair.dmax,
+        **kw,
     )
     work = h * w * opts.disp_range
     gl = cost_stage.compute_gray_host64(left)

@@ -44,10 +44,18 @@ def main() -> None:
     refine_detail = "--refine-detail" in sys.argv[1:]
     pair_name = argv[0] if argv else "Cone"
     iters = int(argv[1]) if len(argv) > 1 else 50
-    pair = get_pair(pair_name)
+    # label overrides matching tools/parity_report.py's configs
+    overrides = {"Piano256": ("Piano", 0, 256)}
+    base_name, dmin, dmax = overrides.get(
+        pair_name, (pair_name, None, None)
+    )
+    pair = get_pair(base_name)
     left_np, right_np, _ = pair.load()
     h, w, _ = left_np.shape
-    opts = ADCensusOptions(min_disparity=pair.dmin, max_disparity=pair.dmax)
+    opts = ADCensusOptions(
+        min_disparity=pair.dmin if dmin is None else dmin,
+        max_disparity=pair.dmax if dmax is None else dmax,
+    )
     work = h * w * opts.disp_range
 
     left = jax.device_put(jnp.asarray(left_np))
