@@ -27,6 +27,14 @@ Precision:
   error is the second rounding of the residual, ~2^-17 relative per
   element — well inside the end-to-end bad-2.0 gate (the bit-exact roll
   kernels remain available via use_pallas=True).
+
+Measured dead end (do not redo): a block-banded variant — storing only
+the (2*ceil(max_arm/128)+1)*128-wide band and contracting per 128-col
+output block — cut band bytes and FLOPs by W/KB-fold but ran SLOWER
+end-to-end (Cone 27.6 vs 19.6 ms, Cloth3 92.5 vs 64.6 ms, TPU v5e):
+fragmenting into per-block (128 x 384 x D) einsums loses more MXU/
+fusion efficiency than the zero padding costs. The dense band matrix
+stays.
 """
 from __future__ import annotations
 
