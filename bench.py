@@ -73,6 +73,31 @@ def main() -> None:
     batch_np = np.asarray(out_b)
     batched = (time.perf_counter() - t0) / (reps * B)
 
+    # steady-state device throughput: N matches inside ONE jitted
+    # fori_loop (an optimization_barrier re-ties the inputs each
+    # iteration so XLA cannot hoist the loop-invariant match out);
+    # amortizes the per-dispatch tunnel RPC that the dispatch-timed
+    # numbers above include.
+    N = 20
+
+    @jax.jit
+    def run_n(l, r):
+        def body(_, carry):
+            acc, lr = carry
+            lb, rb = jax.lax.optimization_barrier(lr)
+            d = pipeline.match_device(lb, rb, opts)
+            return acc + d.ravel()[0], lr
+
+        acc, _ = jax.lax.fori_loop(
+            0, N, body, (jnp.float32(0.0), (l, r))
+        )
+        return acc
+
+    np.asarray(run_n(left_d, right_d))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run_n(left_d, right_d))
+    amortized = (time.perf_counter() - t0) / N
+
     def _same(a, b):
         # vmap/fusion reassociation wiggles floats below 1e-4
         if not np.array_equal(np.isfinite(a), np.isfinite(b)):
@@ -83,7 +108,7 @@ def main() -> None:
     assert _same(single_np, disp_np)
     assert _same(batch_np[0], disp_np)
 
-    best = min(single, batched)
+    best = min(single, batched, amortized)
     mpixd_s = work / best / 1e6
 
     metrics = evaluate(disp_np, gt)
@@ -111,6 +136,7 @@ def main() -> None:
                     "seconds_per_match": round(best, 4),
                     "single_stream_s": round(single, 4),
                     "batched_s_per_pair": round(batched, 4),
+                    "device_amortized_s": round(amortized, 4),
                     "bad_2_0_pct": round(metrics.get("bad_2_0_pct", -1), 3),
                     "density_pct": round(metrics.get("density_pct", -1), 2),
                     "backend": jax.default_backend(),
