@@ -24,9 +24,14 @@ Precision:
   the residual is 0/+-1 — both parts exact).
 * **Aggregation uses a 2-term bfloat16 split** of the float32 costs per
   pass (hi = bf16(x), lo = bf16(x - hi)); masks are exact, so the only
-  error is the second rounding of the residual, ~2^-17 relative per
-  element — well inside the end-to-end bad-2.0 gate (the bit-exact roll
-  kernels remain available via use_pallas=True).
+  error is the second rounding of the residual, ~2^-17 relative.
+  Measured finding: Wood2's fast-mode bad-2.0 (+0.68 vs the roll
+  kernels) is NOT noise magnitude — a 3-term, ~2^-26 split produced the
+  identical result at +1 ms. Large textureless regions hold exactly
+  TIED costs, and any reassociation epsilon flips argmin winners vs the
+  sequential sums' exact ties; more precision cannot restore equality
+  classes. Users needing the reference's exact tie semantics run
+  use_pallas=True (parity mode).
 
 Measured dead end (do not redo): a block-banded variant — storing only
 the (2*ceil(max_arm/128)+1)*128-wide band and contracting per 128-col
@@ -94,18 +99,33 @@ def _mm_v(mv: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _split_mm(mm, mask: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
-    """2-term bfloat16 split matmul: exact for integer inputs < 2^17,
-    ~2^-17-relative for general float32 (masks are exact 0/1).
+def _split_mm(
+    mm, mask: jnp.ndarray, vol: jnp.ndarray, terms: int = 2
+) -> jnp.ndarray:
+    """Multi-term bfloat16 split matmul (masks are exact 0/1): each
+    term captures the bfloat16 rounding residual of the previous one,
+    so 2 terms are exact for integers < 2^17 (~2^-17-relative for
+    general float32) and 3 terms are float32-exact to ~2^-26 (measured
+    NOT to change any bad-2.0 — the residual fast-vs-parity deviation
+    is tie-breaking in exactly-tied textureless regions, insensitive
+    to precision — so aggregation stays at the cheaper 2 terms).
 
-    hi and lo are stacked along the free d axis into ONE matmul so the
-    band matrix is read from HBM once, not twice — mask traffic, not
-    FLOPs, dominates these passes."""
+    The terms are stacked along the free d axis into ONE matmul so the
+    band matrix is read from HBM once — mask traffic, not FLOPs,
+    dominates these passes."""
     d = vol.shape[0]
-    hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = vol - hi
-    res = mm(mask, jnp.concatenate([hi, lo], axis=0))
-    return res[:d] + res[d:]
+    parts = []
+    rem = vol
+    for _ in range(terms - 1):
+        t = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        parts.append(t)
+        rem = rem - t
+    parts.append(rem)
+    res = mm(mask, jnp.concatenate(parts, axis=0))
+    out = res[:d]
+    for k in range(1, terms):
+        out = out + res[k * d : (k + 1) * d]
+    return out
 
 
 def cross_pass_matmul(

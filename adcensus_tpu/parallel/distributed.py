@@ -26,14 +26,32 @@ def initialize(
     Fail-fast: any inconsistency raises immediately rather than hanging
     the pod (the reference's analogue is its hard `return false` input
     guards, ADCensusStereo.cpp:71-76)."""
-    kwargs = {}
-    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        kwargs["coordinator_address"] = (
-            coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"]
+    if (num_processes is None) != (process_id is None):
+        raise ValueError(
+            "num_processes and process_id must be given together "
+            f"(got num_processes={num_processes}, process_id={process_id})"
         )
     if num_processes is not None:
+        if num_processes <= 0:
+            raise ValueError(f"num_processes must be > 0, got {num_processes}")
+        if not (0 <= process_id < num_processes):
+            raise ValueError(
+                f"process_id {process_id} out of range "
+                f"[0, {num_processes})"
+            )
+    coord = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is not None and num_processes > 1 and not coord:
+        raise ValueError(
+            "multi-process initialization needs a coordinator_address "
+            "(argument or JAX_COORDINATOR_ADDRESS)"
+        )
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+    if num_processes is not None:
         kwargs["num_processes"] = num_processes
-    if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
 

@@ -154,6 +154,24 @@ def test_sharded_full_size_cone(mesh8):
     np.testing.assert_allclose(out[both], ref[both], atol=5e-5)
 
 
+def test_distributed_fail_fast_and_pod_mesh():
+    """initialize() validates its arguments before touching
+    jax.distributed (a bad pod config must raise, not hang the pod);
+    pod_mesh covers every addressable device."""
+    from adcensus_tpu.parallel import distributed
+
+    with pytest.raises(ValueError, match="together"):
+        distributed.initialize(num_processes=2)
+    with pytest.raises(ValueError, match="out of range"):
+        distributed.initialize(num_processes=2, process_id=2)
+    with pytest.raises(ValueError, match="must be > 0"):
+        distributed.initialize(num_processes=0, process_id=0)
+    with pytest.raises(ValueError, match="coordinator"):
+        distributed.initialize(num_processes=2, process_id=0)
+    m = distributed.pod_mesh()
+    assert m.shape["data"] * m.shape["tile"] == len(jax.devices())
+
+
 def test_sharded_flag_gating(small_pair, mesh8):
     """do_lr_check=False and do_discontinuity_adjustment=True must behave
     identically sharded and unsharded (the sharded path used to ignore
