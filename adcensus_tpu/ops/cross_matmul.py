@@ -110,9 +110,11 @@ def _split_mm(
     is tie-breaking in exactly-tied textureless regions, insensitive
     to precision — so aggregation stays at the cheaper 2 terms).
 
-    The terms are stacked along the free d axis into ONE matmul so the
-    band matrix is read from HBM once — mask traffic, not FLOPs,
-    dominates these passes."""
+    Strategy is size-aware: stacking the terms along the free d axis
+    into ONE matmul reads the band matrix from HBM once but
+    materializes a terms× volume concat; separate matmuls read the
+    mask terms× but skip the concat. Small volumes (vs the masks) take
+    the concat; large-D volumes take separate matmuls."""
     d = vol.shape[0]
     parts = []
     rem = vol
@@ -121,6 +123,13 @@ def _split_mm(
         parts.append(t)
         rem = rem - t
     parts.append(rem)
+    concat_bytes = 2 * (terms * vol.size * 4)  # write + read the stack
+    extra_mask_bytes = (terms - 1) * mask.size * mask.dtype.itemsize
+    if concat_bytes > extra_mask_bytes:
+        out = mm(mask, parts[0])
+        for p in parts[1:]:
+            out = out + mm(mask, p)
+        return out
     res = mm(mask, jnp.concatenate(parts, axis=0))
     out = res[:d]
     for k in range(1, terms):

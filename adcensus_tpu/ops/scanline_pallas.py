@@ -13,6 +13,12 @@ multiple of the tile count: padding steps pass the carry through untouched,
 and the seed step (the first *real* pixel of each path) copies its costs
 unchanged (scanline_optimizer.cpp:99-100).
 
+Measured dead end (do not redo): blocking K=8 scan steps per grid step
+(carry in registers, arithmetic flag selects) changed nothing on Cone
+(2.95 vs 2.82 ms) and OOM'd the 16 MB scoped VMEM at D=256 (the
+(K, D, P) in/out blocks are double-buffered) — per-grid-step overhead
+is NOT the bottleneck; Mosaic already pipelines the S grid well.
+
 The color-adaptive penalties are fed as a compact (S, D, P) uint8 code
 volume (0: both gradients < tso, 1: exactly one >= tso, 2: both >= tso)
 decoded in-kernel to the static (P1, P2), (P1,P2)/4, (P1,P2)/10 constants
