@@ -156,10 +156,13 @@ def main() -> None:
             "and the out-of-place vs in-place 3×3 median, "
             "adcensus_util.cpp:55-81) — the same semantics that make "
             "Cloth3 and Wood2 *better* than the reference. A "
-            "chunked-sequential voting order was considered and "
-            "rejected: emulating intra-phase fill visibility costs "
-            "K× more histogram passes for a ≤0.14 bad-2.0 delta on "
-            "one pair that the others contradict.",
+            "chunked-sequential voting order was prototyped and "
+            "MEASURED to be worthless: 8 row-chunks per phase (later "
+            "chunks see earlier fills, the reference's row-major "
+            "visibility at chunk granularity) moved Cone bad-2.0 by "
+            "+0.001 at 8× the voting cost — the residual gap lives in "
+            "finer-grained sequential effects (in-row fill order, the "
+            "in-place median) that no dense formulation reproduces.",
             "",
             "Wood2's fast-vs-parity delta is a different mechanism: "
             "its large textureless regions hold exactly TIED "
