@@ -491,6 +491,15 @@ def _tail_rows(vol, pre, opts: ADCensusOptions, dims, use_pallas):
         )
         disp = jnp.where(interior, adj, before)
 
+    if opts.exact_median:
+        # the in-place raster median is a global wavefront (row y reads
+        # filtered row y-1); the map is tiny, so all_gather it and run
+        # the sheared scan redundantly per shard, keeping own rows
+        full_d = jax.lax.all_gather(disp, "tile", axis=0, tiled=True)
+        full_m = jax.lax.all_gather(in_image, "tile", axis=0, tiled=True)
+        med = refine_stage.median_filter_3x3_inplace(full_d, full_m)
+        disp = jax.lax.dynamic_slice_in_dim(med, r0, h_local, axis=0)
+        return jnp.where(in_image, disp, INVALID_FLOAT)
     # ---- median with 1-row halo and in-image mask -----------------------
     dpad = _halo_rows(disp, 1, axis=0)
     mpad = _halo_rows(in_image, 1, axis=0)

@@ -625,6 +625,121 @@ def median_filter_3x3(
     return out
 
 
+def _shear(a: jnp.ndarray, t_cols: int, fill) -> jnp.ndarray:
+    """S[y, t] = a[y, t - 2y] (fill outside) via pad + reshape — no
+    gathers: pad rows to pitch P = t_cols + 2, flatten, reshape with
+    pitch t_cols; flat index y*(P-2) + t = y*P + (t - 2y) lands on
+    a_padded[y, t-2y], and t-2y < 0 wraps into the previous row's fill."""
+    h, w = a.shape
+    p = t_cols + 2
+    ap = jnp.pad(a, ((0, 1), (0, p - w)), constant_values=fill)
+    flat = ap.reshape(-1)
+    return flat[: h * t_cols].reshape(h, t_cols)
+
+
+def _unshear(s: jnp.ndarray, w: int, fill) -> jnp.ndarray:
+    """Inverse of _shear: b[y, x] = s[y, x + 2y] (same pitch trick)."""
+    h, t_cols = s.shape
+    p = t_cols + 2
+    flat = jnp.pad(s, ((0, 1), (0, 0)), constant_values=fill).reshape(-1)
+    return flat[: h * p].reshape(h, p)[:h, :w]
+
+
+def median_filter_3x3_inplace(
+    disp: jnp.ndarray, in_image: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """The reference's EXACT in-place 3x3 median (adcensus_util.cpp:55-81
+    called with in == out at multistep_refiner.cpp:86): pixel (y, x)
+    reads already-filtered values at (y-1, x-1..x+1) and (y, x-1) and
+    original values elsewhere, in raster order.
+
+    The raster recurrence is a wavefront: under the shear t = x + 2y,
+    every filtered dependency lives in sheared columns t-1..t-3, so a
+    ``lax.scan`` over sheared columns computes a whole (H,) column per
+    step — W + 2H steps total, each a 9-element sorting network on (H,)
+    vectors. Sheared out-of-range cells are +inf, which is exactly the
+    out-of-window sort sentinel; window populations are counted
+    separately (static border distances, or the ``in_image`` mask for
+    padded sharded maps), so in-image +inf disparities still count,
+    like the reference's clipped window.
+    """
+    h, w = disp.shape
+    if in_image is None:
+        rows = 1 + (np.arange(h) > 0) + (np.arange(h) < h - 1)
+        cols = 1 + (np.arange(w) > 0) + (np.arange(w) < w - 1)
+        counts = jnp.asarray(
+            (rows[:, None] * cols[None, :]).astype(np.int32)
+        )
+        masked = disp
+        active = jnp.ones((h, w), bool)
+    else:
+        counts = jnp.zeros((h, w), jnp.int32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                counts = counts + shift2d(
+                    in_image.astype(jnp.int32), -dy, -dx, 0
+                )
+        masked = jnp.where(in_image, disp, jnp.inf)
+        active = in_image
+
+    t_cols = w + 2 * h  # covers x + 2y for all pixels
+    inf = jnp.float32(jnp.inf)
+    s_orig = _shear(masked, t_cols, inf)               # orig (y, x)
+    s_cnt = _shear(counts, t_cols, 0)
+    s_act = _shear(active, t_cols, False)
+
+    def down(col):  # col[y] -> col[y-1] (row above), +inf at y=0
+        return jnp.concatenate([jnp.full((1,), inf), col[:-1]])
+
+    def down_s(s):  # S[y+1, :] view (row below), +inf at y=h-1
+        return jnp.concatenate(
+            [s[1:], jnp.full((1, s.shape[1]), inf)], axis=0
+        )
+
+    def col_at(s, off):  # S[:, t + off] as scan xs, +inf past the end
+        return jnp.pad(
+            s[:, off:], ((0, 0), (0, off)), constant_values=inf
+        )
+
+    xs = (
+        s_orig.T,                    # (y, x)    original
+        col_at(s_orig, 1).T,         # (y, x+1)  original
+        col_at(down_s(s_orig), 1).T,  # (y+1, x-1) original
+        col_at(down_s(s_orig), 2).T,  # (y+1, x)   original
+        col_at(down_s(s_orig), 3).T,  # (y+1, x+1) original
+        s_cnt.T.astype(jnp.int32),
+        s_act.T,
+    )
+
+    def step(carry, x_in):
+        c1, c2, c3 = carry  # filtered sheared columns t-1, t-2, t-3
+        ov_c, ov_r, od_l, od_c, od_r, cnt, act = x_in
+        nine = jnp.stack(
+            [
+                c1,          # (y, x-1)   filtered
+                down(c1),    # (y-1, x+1) filtered
+                down(c2),    # (y-1, x)   filtered
+                down(c3),    # (y-1, x-1) filtered
+                ov_c, ov_r, od_l, od_c, od_r,
+            ],
+            axis=0,
+        )
+        srt = jnp.sort(nine, axis=0)
+        idx = jnp.maximum(cnt, 1) // 2
+        med = srt[0]
+        for k in range(1, 5):
+            med = jnp.where(idx == k, srt[k], med)
+        col = jnp.where(act, med, inf)
+        return (col, c1, c2), col
+
+    init = (jnp.full((h,), inf),) * 3
+    _, cols = jax.lax.scan(step, init, xs)
+    out = _unshear(cols.T, w, inf)
+    # pixels outside in_image keep their input value (like the dense
+    # median's masking); callers overwrite them anyway
+    return jnp.where(active, out, disp)
+
+
 def multistep_refine(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
@@ -654,6 +769,9 @@ def multistep_refine(
     if opts.do_discontinuity_adjustment:
         disp = depth_discontinuity_adjustment(disp, cost, opts)
         out["after_discontinuity"] = disp
-    disp = median_filter_3x3(disp)
+    if opts.exact_median:
+        disp = median_filter_3x3_inplace(disp)
+    else:
+        disp = median_filter_3x3(disp)
     out["final"] = disp
     return out

@@ -88,6 +88,31 @@ def test_median_outofplace_exact(oracle_result):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_median_inplace_exact(oracle_result):
+    """The sheared-wavefront in-place median == the oracle's raster-order
+    in-place median BITWISE (the reference calls MedianFilter with
+    in == out, adcensus_util.cpp:55-81 at multistep_refiner.cpp:86)."""
+    src = oracle_result["after_interpolation"]
+    ref = numpy_ref.median_filter_inplace(src.copy(), 3)
+    out = np.array(refine_stage.median_filter_3x3_inplace(src))
+    m = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(out), m)
+    np.testing.assert_array_equal(out[m], ref[m])
+
+
+def test_median_inplace_exact_random():
+    """Random maps with invalid (inf) pixels, several odd shapes."""
+    rng = np.random.default_rng(7)
+    for h, w in [(9, 11), (24, 17), (33, 64)]:
+        src = rng.uniform(0, 60, (h, w)).astype(np.float32)
+        src[rng.random((h, w)) < 0.15] = np.inf
+        ref = numpy_ref.median_filter_inplace(src.copy(), 3)
+        out = np.array(refine_stage.median_filter_3x3_inplace(src))
+        m = np.isfinite(ref)
+        assert np.array_equal(np.isfinite(out), m), (h, w)
+        np.testing.assert_array_equal(out[m], ref[m])
+
+
 def test_median_close_to_inplace_reference(oracle_result):
     """Deviation from the reference's in-place (raster-order-dependent)
     median is bounded: all diffs <= 2.0, ~99% within 0.5."""

@@ -173,9 +173,10 @@ def test_distributed_fail_fast_and_pod_mesh():
 
 
 def test_sharded_flag_gating(small_pair, mesh8):
-    """do_lr_check=False and do_discontinuity_adjustment=True must behave
-    identically sharded and unsharded (the sharded path used to ignore
-    both flags)."""
+    """do_lr_check=False, do_discontinuity_adjustment=True and
+    exact_median=True must behave identically sharded and unsharded
+    (the sharded path used to ignore the first two; the in-place median
+    is a global wavefront run on the all-gathered map)."""
     from adcensus_tpu.config import ADCensusOptions
 
     opts = ADCensusOptions(
@@ -185,6 +186,7 @@ def test_sharded_flag_gating(small_pair, mesh8):
         cross_L2=4,
         do_lr_check=False,
         do_discontinuity_adjustment=True,
+        exact_median=True,
     )
     left, right = small_pair
     ref, out = _run_both(left, right, opts, mesh8)

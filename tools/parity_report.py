@@ -63,8 +63,12 @@ def main() -> None:
 
         # max-parity mode: bit-exact host64 gray + the masked-roll
         # kernels that reproduce the reference's float summation order
+        # + the exact in-place raster-order final median
+        import dataclasses as _dc
+
+        opts_exact = _dc.replace(opts, exact_median=True)
         disp_exact = pipeline.match(
-            left, right, opts, gray_mode="host64", use_pallas=True
+            left, right, opts_exact, gray_mode="host64", use_pallas=True
         )["disparity"]
 
         row = {
@@ -114,8 +118,9 @@ def main() -> None:
         "reference binary's own output (tests/golden). 'fast' = device "
         "f32 gray + MXU matmul cross ops (the serving path); 'parity' = "
         "bit-exact host64 gray + masked-roll kernels in the reference's "
-        "summation order (remaining differences are the documented "
-        "dense-vs-sequential refinement semantics).",
+        "summation order + the exact in-place raster-order final median "
+        "(exact_median=True; the remaining difference is the dense "
+        "region-voting fill order).",
         "",
         "| pair | size | D | bad-2.0 % (fast) | bad-2.0 % (parity) | "
         "bad-2.0 % (ref) | agree@0.5 fast | agree@0.5 parity | "
@@ -149,12 +154,12 @@ def main() -> None:
             "rounding (~0.02 % of pixels, cost.py:30-34) plus the "
             "matmul backend's 2-term bfloat16 reassociation "
             "(~2^-17 relative, ops/cross_matmul.py). "
-            f"parity − reference = {d_sem:+.3f}: entirely the "
-            "documented dense-vs-sequential refinement semantics "
-            "(simultaneous region-voting fills vs the reference's "
-            "list-ordered in-pass fills, multistep_refiner.cpp:169-225, "
-            "and the out-of-place vs in-place 3×3 median, "
-            "adcensus_util.cpp:55-81) — the same semantics that make "
+            f"parity − reference = {d_sem:+.3f}: the dense "
+            "simultaneous region-voting fills vs the reference's "
+            "list-ordered in-pass fills (multistep_refiner.cpp:169-225) "
+            "— the in-place median, formerly the dominant term, is now "
+            "reproduced EXACTLY by the sheared-wavefront scan "
+            "(exact_median) — the same dense-voting semantics that make "
             "Cloth3 and Wood2 *better* than the reference. A "
             "chunked-sequential voting order was prototyped and "
             "MEASURED to be worthless: 8 row-chunks per phase (later "
