@@ -82,7 +82,7 @@ def test_cli_tunable_flags(tmp_path):
             "--lambda-ad", "12", "--lambda-census", "25",
             "--cross-l1", "8", "--cross-l2", "4",
             "--so-p1", "0.5", "--so-p2", "2.0",
-            "--no-do-lr-check", "--no-do-filling",
+            "--no-do-lr-check", "--no-do-filling", "--exact-median",
         ],
         timeout=900,
     )
