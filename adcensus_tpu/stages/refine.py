@@ -18,9 +18,12 @@ masked update over the whole map (SURVEY.md §3.3 / §7):
 * Proper interpolation marches the 16 precomputed rays with a
   lax.scan of dynamic slices over a padded map; mismatch fills are
   written before the occlusion ray search runs, as in the reference.
-* The final 3x3 median is computed out-of-place (the reference calls it
-  with in == out, making its output depend on raster order — documented
-  deviation, also bad-2.0 gated).
+* The final 3x3 median is computed out-of-place by default (the
+  reference calls it with in == out, making its output depend on raster
+  order — documented deviation, bad-2.0 gated); ``opts.exact_median``
+  selects :func:`median_filter_3x3_inplace`, which reproduces the
+  reference's raster-order recurrence BITWISE via a sheared-wavefront
+  scan.
 """
 from __future__ import annotations
 
@@ -662,6 +665,11 @@ def median_filter_3x3_inplace(
     separately (static border distances, or the ``in_image`` mask for
     padded sharded maps), so in-image +inf disparities still count,
     like the reference's clipped window.
+
+    Measured cost (TPU v5e): ~4 ms at 450x375, ~5.3 ms at 707x481 —
+    scan-step overhead bound (W + 2H steps of tiny (H,) work) vs
+    ~1.2 ms for the dense out-of-place median; hence an opt-in
+    (opts.exact_median) rather than the default.
     """
     h, w = disp.shape
     if in_image is None:

