@@ -113,6 +113,48 @@ def test_median_inplace_exact_random():
         np.testing.assert_array_equal(out[m], ref[m])
 
 
+def test_shear_roundtrip():
+    """_shear/_unshear are exact inverses on the in-image region (the
+    pitch-trick reshape shear used by the wavefront median)."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.stages.refine import _shear, _unshear
+
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (17, 33), (36, 52)]:
+        a = rng.uniform(0, 9, (h, w)).astype(np.float32)
+        t_cols = w + 2 * h
+        s = np.array(_shear(jnp.asarray(a), t_cols, np.inf))
+        # definition: S[y, t] = a[y, t - 2y], inf outside
+        for y in range(h):
+            np.testing.assert_array_equal(
+                s[y, 2 * y : 2 * y + w], a[y]
+            )
+            assert np.all(np.isinf(s[y, : 2 * y]))
+            assert np.all(np.isinf(s[y, 2 * y + w :]))
+        back = np.array(_unshear(jnp.asarray(s), w, np.inf))
+        np.testing.assert_array_equal(back, a)
+
+
+def test_median_inplace_mask_matches_unmasked():
+    """With an all-true in_image mask the masked variant equals the
+    static-counts variant (the sharded tail passes gathered masks)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    src = rng.uniform(0, 30, (21, 34)).astype(np.float32)
+    src[rng.random((21, 34)) < 0.1] = np.inf
+    a = np.array(refine_stage.median_filter_3x3_inplace(src))
+    b = np.array(
+        refine_stage.median_filter_3x3_inplace(
+            src, jnp.ones((21, 34), bool)
+        )
+    )
+    m = np.isfinite(a)
+    assert np.array_equal(np.isfinite(b), m)
+    np.testing.assert_array_equal(a[m], b[m])
+
+
 def test_median_close_to_inplace_reference(oracle_result):
     """Deviation from the reference's in-place (raster-order-dependent)
     median is bounded: all diffs <= 2.0, ~99% within 0.5."""
