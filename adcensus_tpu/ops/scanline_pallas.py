@@ -13,11 +13,21 @@ multiple of the tile count: padding steps pass the carry through untouched,
 and the seed step (the first *real* pixel of each path) copies its costs
 unchanged (scanline_optimizer.cpp:99-100).
 
-Measured dead end (do not redo): blocking K=8 scan steps per grid step
-(carry in registers, arithmetic flag selects) changed nothing on Cone
-(2.95 vs 2.82 ms) and OOM'd the 16 MB scoped VMEM at D=256 (the
-(K, D, P) in/out blocks are double-buffered) — per-grid-step overhead
-is NOT the bottleneck; Mosaic already pipelines the S grid well.
+Measured dead ends (do not redo):
+* blocking K=8 scan steps per grid step (carry in registers,
+  arithmetic flag selects) changed nothing on Cone (2.95 vs 2.82 ms)
+  and OOM'd the 16 MB scoped VMEM at D=256 (the (K, D, P) in/out
+  blocks are double-buffered) — per-grid-step overhead is NOT the
+  bottleneck; Mosaic already pipelines the S grid well.
+* a D-on-lanes (S, P, D) layout is 4-8 % faster per pass in isolation
+  at D>=128 (bit-exact), but producing a D-minor volume is ruinous:
+  the D-major -> D-minor transpose's producer layouts get padded 128x
+  per plane (42 GB HBM demand at D=256), and building the penalty code
+  D-minor (2-D planes stacked on the last axis) ran 516 ms vs 23 ms.
+* sharing one SDP-transpose round-trip across a direction's
+  forward+backward pass pair was also ~20x SLOWER at D=256 (fine at
+  D=64) — XLA's layout/fusion choices around the per-pass transposes
+  are load-bearing; keep one transpose in and out per pass.
 
 The color-adaptive penalties are fed as a compact (S, D, P) uint8 code
 volume (0: both gradients < tso, 1: exactly one >= tso, 2: both >= tso)
