@@ -35,12 +35,14 @@ def run_pair(
     out_prefix: str | None = None,
     gt: np.ndarray | None = None,
     verbose: bool = True,
+    gray_mode: str = "device",
+    use_pallas: bool | None = None,
 ):
     h, w, _ = left.shape
     if verbose:
         print(f"w = {w}, h = {h}, d = [{opts.min_disparity},{opts.max_disparity}]")
     t0 = time.perf_counter()
-    res = match(left, right, opts)
+    res = match(left, right, opts, gray_mode=gray_mode, use_pallas=use_pallas)
     t1 = time.perf_counter()
     disp = res["disparity"]
     mpix_ds = h * w * opts.disp_range / (t1 - t0) / 1e6
@@ -65,8 +67,15 @@ def main() -> None:
 
         try:
             jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+        except Exception as e:
+            # a silent failure here means a JAX_PLATFORMS=cpu subprocess
+            # could still grab the TPU tunnel — make it visible
+            import sys
+
+            print(
+                f"warning: could not apply JAX_PLATFORMS={plat!r}: {e}",
+                file=sys.stderr,
+            )
     from adcensus_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -78,6 +87,16 @@ def main() -> None:
     ap.add_argument("--pair", help="bundled pair name (Cone/Cloth3/Wood2/Piano)")
     ap.add_argument("--out", help="output prefix (default: left image path)")
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument(
+        "--parity",
+        action="store_true",
+        help="reference-parity mode: bit-exact masked-roll kernels "
+        "(use_pallas=True), host float64 grayscale, and the in-place "
+        "raster-order median — matches the reference C++ output as "
+        "closely as possible. Default (fast) mode uses the approximate "
+        "MXU band-matmul aggregation, which can flip tie-broken "
+        "disparities in textureless regions (see PARITY.md)",
+    )
     ap.add_argument(
         "--timing",
         action="store_true",
@@ -157,6 +176,10 @@ def main() -> None:
     }
     if overrides:
         opts = dataclasses.replace(opts, **overrides)
+    if args.parity and "exact_median" not in overrides:
+        opts = dataclasses.replace(opts, exact_median=True)
+    use_pallas = True if args.parity else None
+    gray_mode = "host64" if args.parity else "device"
     opts.validate()
     if left.shape != right.shape:
         raise SystemExit("left/right image sizes differ")
@@ -166,7 +189,10 @@ def main() -> None:
     if args.timing or args.dump_stages:
         from adcensus_tpu.utils.profiling import match_staged
 
-        res = match_staged(left, right, opts, dump_path=args.dump_stages)
+        res = match_staged(
+            left, right, opts, use_pallas=use_pallas,
+            dump_path=args.dump_stages,
+        )
         for k, t in res["timings"].items():
             thr = res["throughput"].get(k, 0.0)
             print(f"{k:>12}: {t * 1000:8.2f} ms   {thr:9.1f} Mpix*disp/s")
@@ -176,7 +202,8 @@ def main() -> None:
             save_disparity_map(disp, prefix)
     else:
         disp, _, _ = run_pair(
-            left, right, opts, None if args.no_save else prefix, gt
+            left, right, opts, None if args.no_save else prefix, gt,
+            gray_mode=gray_mode, use_pallas=use_pallas,
         )
     if args.cloud:
         from adcensus_tpu.io.image import save_disparity_cloud

@@ -18,6 +18,14 @@ def resolve_use_pallas(use_pallas):
     kernels" for the scanline/interpolation Pallas paths."""
     if use_pallas is None or use_pallas == "matmul":
         return jax.default_backend() != "cpu"
+    if use_pallas == "pallas":
+        return True
+    if use_pallas == "jnp":
+        # the exact-mirror backend must NOT silently enable the Pallas
+        # scanline/interp kernels just because the string is truthy
+        return False
+    if isinstance(use_pallas, str):
+        raise ValueError(f"unknown kernel backend {use_pallas!r}")
     return bool(use_pallas)
 
 

@@ -110,19 +110,52 @@ def _cross_pass_kernel(
         out_ref[:] = res
 
 
-def _masked_roll_sum_jnp(p, lo_arm, hi_arm, axis, max_arm):
+def _masked_roll_sum_jnp(p, lo_arm, hi_arm, axis, max_arm, rolled=None):
     """jnp mirror of _masked_roll_sum over a (D, H, W) volume (axis is the
     spatial axis, 1 or 2). Same ascending-t masked accumulation — bit-exact
     vs the reference, and immune to garbage in halo regions (arms never
-    reach past the true image border, so wrapped values are masked off)."""
+    reach past the true image border, so wrapped values are masked off).
+
+    ``rolled`` (default on the CPU backend) uses fori_loops with an
+    incremental roll-by-1 carry — the Pallas kernel's own structure — so
+    the 2*max_arm+1 offset steps compile once instead of unrolling
+    (XLA CPU compile time of the full-size sharded program). Identical
+    values added in the identical ascending-t order: bit-exact either
+    way."""
+    if rolled is None:
+        rolled = jax.default_backend() == "cpu"
+    zero = jnp.zeros((), p.dtype)
+    if rolled:
+        def neg_body(i, carry):
+            acc, r = carry
+            t = i - max_arm  # t = -max_arm .. -1
+            acc = acc + jnp.where(lo_arm >= -t, r, zero)
+            r = jnp.roll(r, -1, axis=axis)  # advance t by +1
+            return acc, r
+
+        acc, _ = jax.lax.fori_loop(
+            0, max_arm, neg_body,
+            (jnp.zeros_like(p), jnp.roll(p, max_arm, axis=axis)),
+        )
+        acc = acc + p  # t = 0
+
+        def pos_body(i, carry):
+            acc, r = carry
+            t = i + 1  # t = 1 .. max_arm
+            r = jnp.roll(r, -1, axis=axis)
+            acc = acc + jnp.where(hi_arm >= t, r, zero)
+            return acc, r
+
+        acc, _ = jax.lax.fori_loop(0, max_arm, pos_body, (acc, p))
+        return acc
     acc = jnp.zeros_like(p)
     for t in range(-max_arm, max_arm + 1):
         if t == 0:
             acc = acc + p
             continue
-        rolled = jnp.roll(p, -t, axis=axis)
+        rolled_p = jnp.roll(p, -t, axis=axis)
         cond = lo_arm >= -t if t < 0 else hi_arm >= t
-        acc = acc + jnp.where(cond, rolled, jnp.float32(0.0))
+        acc = acc + jnp.where(cond, rolled_p, zero)
     return acc
 
 

@@ -49,7 +49,12 @@ def compute_gray_host64(img: np.ndarray) -> np.ndarray:
     return (r * 0.299 + g * 0.587 + b * 0.114).astype(np.uint8)
 
 
-def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
+def census_transform_9x7(
+    gray: jnp.ndarray,
+    row_offset=0,
+    full_h: int | None = None,
+    full_w: int | None = None,
+) -> jnp.ndarray:
     """63-bit census signature per pixel, packed as (2, H, W) uint32
     [plane 0 = bits 62..32 (first 31 comparisons), plane 1 = bits 31..0].
 
@@ -59,8 +64,16 @@ def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
 
     Border pixels (rows <4/>=h-4, cols <3/>=w-3) are zero, matching the
     reference (adcensus_util.cpp:17-18 loop bounds).
+
+    ``row_offset``/``full_h``/``full_w`` support row-slab computation by
+    the sharded pipeline: ``gray`` is then a slab whose row 0 is global
+    row ``row_offset`` (may be traced) of a ``full_h``-row image, and
+    validity is judged in global coordinates. Callers must supply 4 rows
+    of true context around any row they keep.
     """
     h, w = gray.shape
+    full_h = h if full_h is None else full_h
+    full_w = w if full_w is None else full_w
     center = gray
     hi = jnp.zeros((h, w), jnp.uint32)
     lo = jnp.zeros((h, w), jnp.uint32)
@@ -73,11 +86,15 @@ def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
             hi = hi | (bit << jnp.uint32(pos - 32))
         else:
             lo = lo | (bit << jnp.uint32(pos))
-    valid = jnp.zeros((h, w), dtype=bool)
-    if h > 8 and w > 6:
-        valid = valid.at[4 : h - 4, 3 : w - 3].set(True)
+    gy = row_offset + jnp.arange(h)
+    valid = (
+        (gy[:, None] >= 4)
+        & (gy[:, None] < full_h - 4)
+        & (jnp.arange(w)[None, :] >= 3)
+        & (jnp.arange(w)[None, :] < full_w - 3)
+    )
     # reference also zeroes everything when the image is too small
-    if not (w > 9 and h > 7):
+    if not (full_w > 9 and full_h > 7):
         valid = jnp.zeros((h, w), dtype=bool)
     hi = jnp.where(valid, hi, 0)
     lo = jnp.where(valid, lo, 0)
@@ -92,12 +109,54 @@ def hamming63(census_a: jnp.ndarray, census_b: jnp.ndarray) -> jnp.ndarray:
     return (pc[0] + pc[1]).astype(jnp.int32)
 
 
+def _span(opts: ADCensusOptions) -> int:
+    return max(abs(opts.min_disparity), abs(opts.max_disparity)) + 1
+
+
+def _cost_plane(
+    left_i: jnp.ndarray,
+    right_p: jnp.ndarray,
+    census_l: jnp.ndarray,
+    cen_r_p: jnp.ndarray,
+    span: int,
+    opts: ADCensusOptions,
+    d,
+) -> jnp.ndarray:
+    """One (H, W) cost plane at *traced* absolute disparity ``d``.
+
+    ``right_p``/``cen_r_p`` are the right image / right census pre-padded
+    by ``span`` along W so the epipolar shift is a dynamic slice; values
+    are bitwise-identical to the static-shift planes (same zero fill,
+    same arithmetic order)."""
+    h, w = census_l.shape[1:]
+    lam_ad = jnp.float32(opts.lambda_ad)
+    lam_cen = jnp.float32(opts.lambda_census)
+    r_shift = jax.lax.dynamic_slice(
+        right_p, (0, span - d, 0), (h, w, 3)
+    ).astype(jnp.int32)
+    ad = jnp.sum(jnp.abs(left_i - r_shift), axis=-1).astype(
+        jnp.float32
+    ) / jnp.float32(3.0)
+    cen_r = jax.lax.dynamic_slice(cen_r_p, (0, 0, span - d), (2, h, w))
+    cen = hamming63(census_l, cen_r).astype(jnp.float32)
+    cost = (
+        jnp.float32(1.0)
+        - jnp.exp(-ad / lam_ad)
+        + jnp.float32(1.0)
+        - jnp.exp(-cen / lam_cen)
+    )
+    xr = jnp.arange(w)[None, :] - d
+    oob = (xr < 0) | (xr >= w)
+    return jnp.where(oob, jnp.float32(1.0), cost)
+
+
 def compute_cost_volume(
     left: jnp.ndarray,
     right: jnp.ndarray,
     census_l: jnp.ndarray,
     census_r: jnp.ndarray,
     opts: ADCensusOptions,
+    rolled: bool | None = None,
 ) -> jnp.ndarray:
     """Initial AD-Census cost volume, layout (D, H, W) float32.
 
@@ -105,8 +164,28 @@ def compute_cost_volume(
     with C_ad the mean per-channel absolute difference and out-of-image
     columns costed 1.0 (cost_computor.cpp:82-121). Each disparity plane is
     a statically shifted image pair — no gathers.
+
+    ``rolled`` selects a ``lax.map``-over-d build (compiles the plane body
+    once instead of unrolling D copies); default: rolled on the CPU
+    backend, where the unrolled graph's compile time is pathological at
+    full D (>50 min for the 8-way sharded Cone program), unrolled on TPU
+    where XLA fuses the static shifts. Outputs are bitwise identical.
     """
     h, w, _ = left.shape
+    if rolled is None:
+        rolled = jax.default_backend() == "cpu"
+    if rolled:
+        span = _span(opts)
+        left_i = left.astype(jnp.int32)
+        right_p = jnp.pad(right, ((0, 0), (span, span), (0, 0)))
+        cen_r_p = jnp.pad(census_r, ((0, 0), (0, 0), (span, span)))
+        ds = jnp.arange(opts.disp_range, dtype=jnp.int32) + opts.min_disparity
+        return jax.lax.map(
+            lambda d: _cost_plane(
+                left_i, right_p, census_l, cen_r_p, span, opts, d
+            ),
+            ds,
+        )
     d_range = opts.disp_range
     left_i = left.astype(jnp.int32)
     lam_ad = jnp.float32(opts.lambda_ad)
@@ -143,45 +222,37 @@ def compute_cost_planes(
     opts: ADCensusOptions,
     d0,
     d_count: int,
+    rolled: bool | None = None,
 ) -> jnp.ndarray:
     """``d_count`` cost planes starting at *traced* disparity index ``d0``
     — the disparity-sharded variant of :func:`compute_cost_volume` (each
     shard builds its own d-plane block, so the plane offset is its
     ``axis_index``). Dynamic shifts are dynamic slices of a
     span-padded right image; values match compute_cost_volume exactly.
+    ``rolled`` as in :func:`compute_cost_volume`.
     """
-    h, w, _ = left.shape
-    span = max(abs(opts.min_disparity), abs(opts.max_disparity)) + 1
+    span = _span(opts)
     left_i = left.astype(jnp.int32)
-    lam_ad = jnp.float32(opts.lambda_ad)
-    lam_cen = jnp.float32(opts.lambda_census)
     right_p = jnp.pad(right, ((0, 0), (span, span), (0, 0)))
     cen_r_p = jnp.pad(census_r, ((0, 0), (0, 0), (span, span)))
     d0 = jnp.asarray(d0, jnp.int32)
-
-    planes = []
-    for di in range(d_count):
-        d = d0 + di + opts.min_disparity
-        # right image sampled at xr = x - d: slice starting at span - d
-        r_shift = jax.lax.dynamic_slice(
-            right_p, (0, span - d, 0), (h, w, 3)
-        ).astype(jnp.int32)
-        ad = jnp.sum(jnp.abs(left_i - r_shift), axis=-1).astype(
-            jnp.float32
-        ) / jnp.float32(3.0)
-        cen_r = jax.lax.dynamic_slice(
-            cen_r_p, (0, 0, span - d), (2, h, w)
+    if rolled is None:
+        rolled = jax.default_backend() == "cpu"
+    if rolled:
+        ds = d0 + jnp.arange(d_count, dtype=jnp.int32) + opts.min_disparity
+        return jax.lax.map(
+            lambda d: _cost_plane(
+                left_i, right_p, census_l, cen_r_p, span, opts, d
+            ),
+            ds,
         )
-        cen = hamming63(census_l, cen_r).astype(jnp.float32)
-        cost = (
-            jnp.float32(1.0)
-            - jnp.exp(-ad / lam_ad)
-            + jnp.float32(1.0)
-            - jnp.exp(-cen / lam_cen)
+    planes = [
+        _cost_plane(
+            left_i, right_p, census_l, cen_r_p, span, opts,
+            d0 + di + opts.min_disparity,
         )
-        xr = jnp.arange(w)[None, :] - d
-        oob = (xr < 0) | (xr >= w)
-        planes.append(jnp.where(oob, jnp.float32(1.0), cost))
+        for di in range(d_count)
+    ]
     return jnp.stack(planes, axis=0)
 
 

@@ -218,6 +218,11 @@ def iterative_region_voting(
         if resolve_cross_backend(use_pallas) == "matmul"
         else None
     )
+    # (A histogram-unchanged convergence gate — once a full iteration
+    # fills nothing, later phases are provably no-ops — was measured to
+    # change Cone steady-state by <0.01 ms while inflating the TPU
+    # compile; real maps keep filling through all 5 iterations. The
+    # existing per-phase no-targets cond already covers the cheap case.)
     for _ in range(num_iters):
         for phase_mask in (mismatch, occlusion):
             target = phase_mask & ~jnp.isfinite(disp)
@@ -332,7 +337,16 @@ def proper_interpolation(
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Single-device wrapper: both phases over the full map."""
+    """Single-device wrapper: both phases over the full map.
+
+    (Measured dead end, round 3: lax.cond-skipping each phase when it
+    has no targets — the reference's own empty-list skip — changed Cone
+    steady-state by <0.01 ms because real maps keep live targets in
+    both phases, while the extra branch programs grew the TPU compile
+    of the fused pipeline from ~80 s to ~290 s through the tunnel. The
+    driver-critical single-device path therefore stays branch-free; the
+    sharded tail keeps the conds, where compiles are local and a shard
+    whose rows have no targets genuinely skips its march.)"""
     mism_target = mismatch & ~jnp.isfinite(disp)
     fill_m = interpolation_fills(disp, left, opts, True,
                                  use_pallas=use_pallas,

@@ -45,8 +45,13 @@ def penalty_code(
     opts: ADCensusOptions,
     axis: str,
     forward: bool,
+    rolled: bool | None = None,
 ) -> jnp.ndarray:
-    """(D, H, W) uint8 penalty-code volume for one pass direction."""
+    """(D, H, W) uint8 penalty-code volume for one pass direction.
+
+    ``rolled`` selects a lax.map-over-d build (one compiled plane body;
+    default on the CPU backend, where D unrolled copies blow up compile
+    time). Bitwise identical to the unrolled static-shift form."""
     h, w, _ = left.shape
     d_range = opts.disp_range
     direction = 1 if forward else -1
@@ -57,9 +62,29 @@ def penalty_code(
     # rd[y, x] = dist(right[y, x], right at p - step in the right image)
     rd = color_dist(right, shift2d(right, dy, dx, 0))
 
+    tso = opts.so_tso
+    rd_col1 = rd[:, 1:2] if w > 1 else rd
+    if rolled is None:
+        rolled = jax.default_backend() == "cpu"
+    if rolled:
+        span = max(abs(opts.min_disparity), abs(opts.max_disparity)) + 1
+        rd_p = jnp.pad(rd, ((0, 0), (span, span)))
+        x1 = jnp.arange(w)[None, :]
+        code1 = (d1 >= tso).astype(jnp.uint8)
+
+        def plane(di):
+            d = di + opts.min_disparity
+            xr = x1 - d
+            use_d1 = (xr >= w - 1) | ((x1 - opts.min_disparity) <= 0)
+            shifted = jax.lax.dynamic_slice(rd_p, (0, span - d), (h, w))
+            sticky = jnp.where(xr < 1, rd_col1, shifted)
+            d2 = jnp.where(use_d1, d1, sticky)
+            return code1 + (d2 >= tso).astype(jnp.uint8)
+
+        return jax.lax.map(plane, jnp.arange(d_range, dtype=jnp.int32))
+
     x = jnp.arange(w)[None, None, :]
     planes = []
-    rd_col1 = rd[:, 1:2] if w > 1 else rd
     for di in range(d_range):
         xr = x[0] - di - opts.min_disparity  # (1, W)
         use_d1 = (xr >= w - 1) | ((x[0] - opts.min_disparity) <= 0)
@@ -68,7 +93,6 @@ def penalty_code(
         planes.append(jnp.where(use_d1, d1, sticky))
     d2 = jnp.stack(planes, axis=0)  # (D, H, W)
 
-    tso = opts.so_tso
     n_ge = (d1[None] >= tso).astype(jnp.uint8) + (d2 >= tso).astype(
         jnp.uint8
     )

@@ -1,21 +1,39 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints driver-parseable JSON lines incrementally.
 
 Measures steady-state end-to-end throughput of the full AD-Census pipeline
 (million pixel-disparities per second) on the bundled Cone pair, on
 whatever accelerator JAX sees (real TPU under the driver).
 
+Timeout robustness (round-2 failure: driver rc=124 with zero output):
+the three measurement programs are ordered cheapest-compile-first and a
+valid JSON line is printed (and flushed) as soon as EACH program's warm
+measurement lands — the driver parses the LAST line, so an upgraded line
+simply replaces the earlier one, and a timeout mid-run still leaves a
+parseable result on stdout.  Progress goes to stderr so a hung tunnel is
+diagnosable.  Programs after the first are skipped once the self-imposed
+wall budget (ADC_BENCH_BUDGET_S, default 300 s) is exhausted.
+
 vs_baseline compares against the measured single-thread CPU reference
 baseline stored in BASELINE_MEASURED.json (produced by
 tools/measure_cpu_baseline.py, which builds and times the reference C++
-implementation); falls back to 1.0 if that file is absent.
+implementation at /root/reference); falls back to 1.0 if absent.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("ADC_BENCH_BUDGET_S", "300"))
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -26,12 +44,13 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import jax.numpy as jnp
-    import numpy as np
 
     from adcensus_tpu.config import ADCensusOptions
     from adcensus_tpu.eval.metrics import evaluate
     from adcensus_tpu.io.image import get_pair
     from adcensus_tpu.stages import pipeline
+
+    log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
 
     pair = get_pair("Cone")
     left, right, gt = pair.load()
@@ -39,111 +58,130 @@ def main() -> None:
     opts = ADCensusOptions(min_disparity=pair.dmin, max_disparity=pair.dmax)
     work = h * w * opts.disp_range  # pixel-disparities per match
 
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    cpu_mpixd = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            cpu_mpixd = json.load(f).get("cone_mpixd_per_s")
+
+    state = {"best": None, "extra": {}}
+
+    def emit(timings: dict) -> None:
+        """Print one full JSON result line using the best timing so far."""
+        best = min(timings.values())
+        state["best"] = best
+        mpixd_s = work / best / 1e6
+        vs = mpixd_s / cpu_mpixd if cpu_mpixd else 1.0
+        extra = {
+            "pair": "Cone",
+            "seconds_per_match": round(best, 4),
+            "bad_2_0_pct": round(state["extra"].get("bad_2_0_pct", -1.0), 3),
+            "density_pct": round(state["extra"].get("density_pct", -1.0), 2),
+            "backend": jax.default_backend(),
+        }
+        extra.update({k: round(v, 4) for k, v in timings.items()})
+        print(
+            json.dumps(
+                {
+                    "metric": "cone_throughput",
+                    "value": round(mpixd_s, 2),
+                    "unit": "Mpix*disp/s",
+                    "vs_baseline": round(vs, 2),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+        log(f"emitted {mpixd_s:.1f} Mpix*disp/s ({best * 1e3:.2f} ms/match)")
+
+    def within_budget(label: str) -> bool:
+        el = time.perf_counter() - T_START
+        if el > BUDGET_S:
+            log(f"skip {label}: wall budget exhausted ({el:.0f}s > {BUDGET_S:.0f}s)")
+            return False
+        return True
+
     left_d = jax.device_put(jnp.asarray(left))
     right_d = jax.device_put(jnp.asarray(right))
 
-    # warm-up / compile. NOTE: under the remote-TPU tunnel
-    # block_until_ready() does not actually fence — only a device->host
-    # transfer does — so every measurement below syncs by fetching real
-    # bytes.
-    disp_np = np.asarray(pipeline.match_device(left_d, right_d, opts))
+    timings: dict[str, float] = {}
 
-    # single-pair streaming: dispatch iters matches back-to-back, fetch
-    # the last output (the device runs them sequentially on one stream).
+    # ---- Program 1 (cheapest compile): single-stream dispatch ----
+    # NOTE: under the remote-TPU tunnel block_until_ready() does not
+    # actually fence — only a device->host transfer does — so every
+    # measurement below syncs by fetching real bytes.  Queuing iters
+    # dispatches and fetching only the last amortizes the ~100 ms
+    # tunnel RPC latency.
+    log("program 1/3: single-stream match (compiling)...")
+    disp_np = np.asarray(pipeline.match_device(left_d, right_d, opts))
+    log("program 1/3: compiled; measuring")
+    metrics = evaluate(disp_np, gt)
+    state["extra"].update(metrics)
     iters = 10
     t0 = time.perf_counter()
-    outs = [
-        pipeline.match_device(left_d, right_d, opts) for _ in range(iters)
-    ]
+    outs = [pipeline.match_device(left_d, right_d, opts) for _ in range(iters)]
     single_np = np.asarray(outs[-1])
-    single = (time.perf_counter() - t0) / iters
-
-    # batched throughput: B pairs per dispatch amortizes host/tunnel
-    # dispatch latency — the serving configuration.
-    B = 8
-    lefts = jax.device_put(jnp.broadcast_to(left_d, (B,) + left_d.shape))
-    rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
-    batch_np = np.asarray(
-        pipeline.match_batched_device(lefts, rights, opts)
-    )  # warm-up
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out_b = pipeline.match_batched_device(lefts, rights, opts)
-    batch_np = np.asarray(out_b)
-    batched = (time.perf_counter() - t0) / (reps * B)
-
-    # steady-state device throughput: N matches inside ONE jitted
-    # fori_loop (an optimization_barrier re-ties the inputs each
-    # iteration so XLA cannot hoist the loop-invariant match out);
-    # amortizes the per-dispatch tunnel RPC that the dispatch-timed
-    # numbers above include.
-    N = 20
-
-    @jax.jit
-    def run_n(l, r):
-        def body(_, carry):
-            acc, lr = carry
-            lb, rb = jax.lax.optimization_barrier(lr)
-            d = pipeline.match_device(lb, rb, opts)
-            return acc + d.ravel()[0], lr
-
-        acc, _ = jax.lax.fori_loop(
-            0, N, body, (jnp.float32(0.0), (l, r))
-        )
-        return acc
-
-    np.asarray(run_n(left_d, right_d))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(run_n(left_d, right_d))
-    amortized = (time.perf_counter() - t0) / N
+    timings["single_stream_s"] = (time.perf_counter() - t0) / iters
+    emit(timings)
 
     def _same(a, b):
-        # vmap/fusion reassociation wiggles floats below 1e-4
+        # fusion reassociation wiggles floats below 1e-4
         if not np.array_equal(np.isfinite(a), np.isfinite(b)):
             return False
         m = np.isfinite(a)
         return bool(np.all(np.abs(a[m] - b[m]) <= 1e-3))
 
     assert _same(single_np, disp_np)
-    assert _same(batch_np[0], disp_np)
 
-    best = min(single, batched, amortized)
-    mpixd_s = work / best / 1e6
+    # ---- Program 2: device-amortized fori loop ----
+    # N matches inside ONE jitted fori_loop (an optimization_barrier
+    # re-ties the inputs each iteration so XLA cannot hoist the
+    # loop-invariant match out); removes per-dispatch RPC entirely.
+    if within_budget("program 2 (amortized loop)"):
+        log("program 2/3: amortized fori-loop match (compiling)...")
+        N = 20
 
-    metrics = evaluate(disp_np, gt)
+        @jax.jit
+        def run_n(l, r):
+            def body(_, carry):
+                acc, lr = carry
+                lb, rb = jax.lax.optimization_barrier(lr)
+                d = pipeline.match_device(lb, rb, opts)
+                return acc + d.ravel()[0], lr
 
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
-    )
-    vs_baseline = 1.0
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
-        cpu = base.get("cone_mpixd_per_s")
-        if cpu:
-            vs_baseline = mpixd_s / cpu
+            acc, _ = jax.lax.fori_loop(0, N, body, (jnp.float32(0.0), (l, r)))
+            return acc
 
-    print(
-        json.dumps(
-            {
-                "metric": "cone_throughput",
-                "value": round(mpixd_s, 2),
-                "unit": "Mpix*disp/s",
-                "vs_baseline": round(vs_baseline, 2),
-                "extra": {
-                    "pair": "Cone",
-                    "seconds_per_match": round(best, 4),
-                    "single_stream_s": round(single, 4),
-                    "batched_s_per_pair": round(batched, 4),
-                    "device_amortized_s": round(amortized, 4),
-                    "bad_2_0_pct": round(metrics.get("bad_2_0_pct", -1), 3),
-                    "density_pct": round(metrics.get("density_pct", -1), 2),
-                    "backend": jax.default_backend(),
-                },
-            }
-        )
-    )
+        np.asarray(run_n(left_d, right_d))  # compile + warm
+        log("program 2/3: compiled; measuring")
+        t0 = time.perf_counter()
+        np.asarray(run_n(left_d, right_d))
+        timings["device_amortized_s"] = (time.perf_counter() - t0) / N
+        emit(timings)
+
+    # ---- Program 3 (most expensive compile): batched B=8 ----
+    # B pairs per dispatch — the serving configuration.
+    if within_budget("program 3 (batched)"):
+        log("program 3/3: batched B=8 match (compiling)...")
+        B = 8
+        lefts = jax.device_put(jnp.broadcast_to(left_d, (B,) + left_d.shape))
+        rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
+        batch_np = np.asarray(
+            pipeline.match_batched_device(lefts, rights, opts)
+        )  # warm-up
+        assert _same(batch_np[0], disp_np)
+        log("program 3/3: compiled; measuring")
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_b = pipeline.match_batched_device(lefts, rights, opts)
+        np.asarray(out_b)
+        timings["batched_s_per_pair"] = (time.perf_counter() - t0) / (reps * B)
+        emit(timings)
+
+    log("done")
 
 
 if __name__ == "__main__":

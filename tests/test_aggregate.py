@@ -95,6 +95,42 @@ def test_cross_matmul_any_arm_length():
         np.testing.assert_array_equal(np.array(g), np.array(wv))
 
 
+def test_region_vote_matmul_int8_branch():
+    """The int8 MXU branch (max_arm <= 63, the production TPU path for
+    the default cross_L1=34) matches the exact jnp mirror bitwise — the
+    int8/int16 accumulators must not overflow at the worst case (full
+    127-wide rows of a single disparity)."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.ops.cross_matmul import region_vote_stats_matmul
+    from adcensus_tpu.ops.region_vote_pallas import region_vote_stats
+
+    rng = np.random.default_rng(7)
+    h, w, d, max_arm = 140, 150, 9, 63
+    arms = np.full((h, w, 4), max_arm, np.int32)  # worst-case counts
+    arms[h // 2 :] = rng.integers(0, max_arm + 1, size=(h - h // 2, w, 4))
+    ys, xs = np.arange(h)[:, None], np.arange(w)[None, :]
+    arms[..., 0] = np.minimum(arms[..., 0], xs)
+    arms[..., 1] = np.minimum(arms[..., 1], w - 1 - xs)
+    arms[..., 2] = np.minimum(arms[..., 2], ys)
+    arms[..., 3] = np.minimum(arms[..., 3], h - 1 - ys)
+    # constant disparity in the top half maximizes per-row one-hot
+    # counts (127) and region counts (127*127 < 2^15)
+    di = np.zeros((h, w), np.int32)
+    di[h // 2 :] = rng.integers(0, d, size=(h - h // 2, w))
+    valid = np.ones((h, w), bool)
+    valid[h // 2 :] = rng.random((h - h // 2, w)) > 0.3
+    got = region_vote_stats_matmul(
+        jnp.asarray(di), jnp.asarray(valid), jnp.asarray(arms), d, max_arm
+    )
+    want = region_vote_stats(
+        jnp.asarray(di), jnp.asarray(valid), jnp.asarray(arms), d,
+        max_arm, use_pallas=False,
+    )
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.array(g), np.array(wv))
+
+
 def test_aggregate_near_exact(small_opts, oracle_result):
     """Both backends accumulate in the reference's sequential order; the
     only deviation is XLA keeping excess precision in the add chain

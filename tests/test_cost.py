@@ -60,3 +60,75 @@ def test_cost_volume(small_pair, small_opts):
     assert c_jax.shape == ref.shape
     # f32 exp on device vs double exp in the reference: ~1e-5 relative
     np.testing.assert_allclose(c_jax, ref, atol=1e-5)
+
+
+def test_rolled_builders_bitwise_equal_unrolled(small_pair, small_opts):
+    """The lax.map/fori_loop builder variants (CPU compile-time path)
+    match the unrolled static-shift forms: bitwise for the integer
+    builders (arms, penalty code); cost planes to ~1 ulp (XLA emits a
+    different exp codegen inside a loop body than in a straight-line
+    graph — measured max diff ~1e-7). Includes a negative min_disparity
+    range."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from adcensus_tpu.stages import arms as arms_stage
+    from adcensus_tpu.stages import scanline as scan_stage
+
+    left, right = small_pair
+    gray_l = cost_stage.compute_gray_host64(left)
+    gray_r = cost_stage.compute_gray_host64(right)
+    for opts in (
+        small_opts,
+        dataclasses.replace(small_opts, min_disparity=-4, max_disparity=12),
+    ):
+        cl = cost_stage.census_transform_9x7(jnp.asarray(gray_l))
+        cr = cost_stage.census_transform_9x7(jnp.asarray(gray_r))
+        v_u = cost_stage.compute_cost_volume(
+            left, right, cl, cr, opts, rolled=False
+        )
+        v_r = cost_stage.compute_cost_volume(
+            left, right, cl, cr, opts, rolled=True
+        )
+        np.testing.assert_allclose(
+            np.array(v_u), np.array(v_r), atol=1e-6
+        )
+        p_u = cost_stage.compute_cost_planes(
+            left, right, cl, cr, opts, 3, 5, rolled=False
+        )
+        p_r = cost_stage.compute_cost_planes(
+            left, right, cl, cr, opts, 3, 5, rolled=True
+        )
+        np.testing.assert_allclose(
+            np.array(p_u), np.array(p_r), atol=1e-6
+        )
+        a_u = arms_stage.build_arms(jnp.asarray(left), opts, rolled=False)
+        a_r = arms_stage.build_arms(jnp.asarray(left), opts, rolled=True)
+        np.testing.assert_array_equal(np.array(a_u), np.array(a_r))
+        for axis in ("x", "y"):
+            for fwd in (True, False):
+                c_u = scan_stage.penalty_code(
+                    jnp.asarray(left), jnp.asarray(right), opts, axis,
+                    fwd, rolled=False,
+                )
+                c_r = scan_stage.penalty_code(
+                    jnp.asarray(left), jnp.asarray(right), opts, axis,
+                    fwd, rolled=True,
+                )
+                np.testing.assert_array_equal(np.array(c_u), np.array(c_r))
+
+
+def test_resolve_use_pallas_strings():
+    """"jnp" must DISABLE the kernels (it is the exact-mirror backend);
+    unknown strings raise (ADVICE r2)."""
+    import pytest
+
+    from adcensus_tpu.ops.basic import resolve_use_pallas
+
+    assert resolve_use_pallas("jnp") is False
+    assert resolve_use_pallas("pallas") is True
+    assert resolve_use_pallas(True) is True
+    assert resolve_use_pallas(False) is False
+    with pytest.raises(ValueError, match="unknown kernel backend"):
+        resolve_use_pallas("bogus")

