@@ -36,7 +36,40 @@ def log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _probe_tunnel() -> None:
+    """Diagnose the remote-TPU (axon) tunnel BEFORE touching the JAX
+    backend.  Backend init dials the terminal relay on 127.0.0.1 and, if
+    the relay is down, retries in a silent sleep loop *forever* — the
+    round-2 driver bench died rc=124 with zero output exactly this way.
+    A refused probe can't be fixed from inside the VM, so fail fast with
+    a diagnostic on stderr (the driver records the stderr tail) instead
+    of hanging until the driver's timeout."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no tunnel configured (plain CPU/TPU run)
+    import socket
+
+    deadline = time.perf_counter() + float(
+        os.environ.get("ADC_BENCH_TUNNEL_WAIT_S", "120")
+    )
+    while True:
+        try:
+            socket.create_connection(("127.0.0.1", 8083), timeout=5).close()
+            log("axon terminal relay reachable (127.0.0.1:8083)")
+            return
+        except OSError as e:
+            if time.perf_counter() > deadline:
+                log(
+                    "FATAL: axon terminal relay 127.0.0.1:8083 unreachable "
+                    f"({e}) — the TPU tunnel is down on the host side; "
+                    "backend init would hang forever. Exiting."
+                )
+                sys.exit(3)
+            log(f"axon relay not up yet ({e}); retrying...")
+            time.sleep(10)
+
+
 def main() -> None:
+    _probe_tunnel()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -50,6 +83,7 @@ def main() -> None:
     from adcensus_tpu.io.image import get_pair
     from adcensus_tpu.stages import pipeline
 
+    log("initializing backend (first device op dials the tunnel)...")
     log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
 
     pair = get_pair("Cone")

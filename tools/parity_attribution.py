@@ -1,0 +1,300 @@
+"""Per-pixel attribution of parity-mode disagreements vs the reference C++.
+
+Round-2 VERDICT #3: parity-mode agreement is 0.9982 on Cone but 0.94 on
+Wood2 / 0.9654 on Piano, and the Wood2/Piano residue was explained only
+by a one-line remark about tied costs.  This tool makes the parity claim
+checkable: every final-map pixel differing by >0.5 disparity from the
+reference binary is classified into a deviation class using (a) the
+reference's own stage intermediates (oracle stage-dump mode, see
+tools/oracle_main.cpp) and (b) *counterfactual replays* of our dense
+refine tail on the reference's intermediate state:
+
+  tail_ctf = our LR-check -> voting -> interpolation -> in-place median
+             starting from the reference's OWN wta_l/wta_r maps
+             (so every upstream float/tie deviation is removed);
+  im_ctf   = our interpolation -> median starting from the reference's
+             OWN post-voting map.
+
+Classes (per disagreeing pixel p):
+  upstream    tail_ctf[p] == ref[p] != ours[p]: the dense tail reproduces
+              the reference when given its input, so the difference is
+              owned by the cost-volume float path (f32 exp vs double,
+              argmin tie flips at equal costs) feeding WTA
+              (cost_computor.cpp:117, ADCensusStereo.cpp:216-222).
+  vote_order  tail_ctf[p] == ours[p] != ref[p] and im_ctf[p] == ref[p]:
+              interpolation+median are faithful on the reference's
+              post-vote state, so the difference is owned by dense
+              (parallel) region voting vs the reference's sequential
+              in-pass fills (multistep_refiner.cpp:169-225, list order =
+              raster; later outliers see earlier fills within one pass).
+  interp_med  im_ctf[p] != ref[p]: our interpolation/median deviate even
+              on identical input (expected ~0 — both are exact
+              re-statements; nonzero means a real bug).
+  boundary    tail_ctf[p] within 0.5 of BOTH ours and ref (|ours-ref|
+              barely over the 0.5 threshold); sub-threshold float
+              ambiguity, not a semantic deviation.
+  other       none of the above: true unexplained residue.
+
+Usage:
+  python tools/parity_attribution.py [--pairs Cone Wood2 ...] [--crop N]
+
+Writes PARITY_ATTRIBUTION.json and prints a markdown table (merged into
+PARITY.md by tools/parity_report.py --attribution or by hand).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+CONFIGS = [
+    ("Cone", "Cone", None, None),
+    ("Cloth3", "Cloth3", None, None),
+    ("Wood2", "Wood2", None, None),
+    ("Piano", "Piano", None, None),
+    ("Piano256", "Piano", 0, 256),
+]
+
+
+def _differs(a: np.ndarray, b: np.ndarray, tol: float = 0.5) -> np.ndarray:
+    fa, fb = np.isfinite(a), np.isfinite(b)
+    both = fa & fb
+    out = fa != fb
+    delta = np.subtract(a, b, out=np.zeros_like(a), where=both)
+    out |= both & (np.abs(delta) > tol)
+    return out
+
+
+def _oracle_stage_dumps(name, pair, workdir):
+    """Run the reference binary in stage-dump mode; returns dict of maps."""
+    from tools.measure_cpu_baseline import ORACLE_BIN, build
+
+    if not os.path.exists(ORACLE_BIN):
+        build()
+    left, right, _ = pair.load()
+    h, w, _ = left.shape
+    lp = os.path.join(workdir, f"{name}_l.bgr")
+    rp = os.path.join(workdir, f"{name}_r.bgr")
+    op = os.path.join(workdir, f"{name}_d.f32")
+    pre = os.path.join(workdir, f"{name}_stage")
+    open(lp, "wb").write(left[..., ::-1].tobytes())
+    open(rp, "wb").write(right[..., ::-1].tobytes())
+    subprocess.run(
+        [ORACLE_BIN, str(w), str(h), str(pair.dmin), str(pair.dmax),
+         lp, rp, op, pre],
+        check=True, capture_output=True, text=True,
+    )
+
+    def rd(path):
+        return np.fromfile(path, np.float32).reshape(h, w)
+
+    return {
+        "wta_l": rd(f"{pre}_wta_l.f32"),
+        "wta_r": rd(f"{pre}_wta_r.f32"),
+        "after_lr": rd(f"{pre}_after_lr.f32"),
+        "after_vote": rd(f"{pre}_after_vote.f32"),
+        "after_interp": rd(f"{pre}_after_interp.f32"),
+        "final": rd(op),
+    }
+
+
+def attribute_pair(label, name, dmin, dmax, crop=None):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.io.image import get_pair
+    from adcensus_tpu.stages import cost as cost_stage
+    from adcensus_tpu.stages import pipeline
+    from adcensus_tpu.stages import refine as refine_stage
+
+    pair = get_pair(name)
+    if dmin is not None or dmax is not None:
+        pair = dataclasses.replace(
+            pair,
+            dmin=pair.dmin if dmin is None else dmin,
+            dmax=pair.dmax if dmax is None else dmax,
+        )
+    left, right, _ = pair.load()
+    if crop:
+        left, right = left[:crop, :crop], right[:crop, :crop]
+        pair = dataclasses.replace(pair)
+    opts = ADCensusOptions(
+        min_disparity=pair.dmin, max_disparity=pair.dmax, exact_median=True
+    )
+
+    workdir = os.path.join(ROOT, ".oracle")
+    os.makedirs(workdir, exist_ok=True)
+    if crop:
+        import types
+
+        cp = types.SimpleNamespace(
+            dmin=pair.dmin, dmax=pair.dmax,
+            load=lambda: (left, right, None),
+        )
+        ref = _oracle_stage_dumps(f"{label}_crop{crop}", cp, workdir)
+    else:
+        ref = _oracle_stage_dumps(label, pair, workdir)
+
+    # ---- our chain, parity mode (bit-exact jnp mirrors, host64 gray,
+    # in-place raster median) with intermediates -----------------------
+    gray_l = jnp.asarray(cost_stage.compute_gray_host64(left))
+    gray_r = jnp.asarray(cost_stage.compute_gray_host64(right))
+    ours = pipeline.match_core_jit(
+        jnp.asarray(left), jnp.asarray(right), gray_l, gray_r, opts,
+        return_intermediates=True, use_pallas=False,
+    )
+    ours = {k: np.asarray(v) for k, v in ours.items()}
+
+    # ---- sanity: our LR check is exact on the reference's WTA maps ----
+    lr_fn = jax.jit(
+        refine_stage.outlier_detection, static_argnames=("opts",)
+    )
+    r_lr, r_occl, r_mism = lr_fn(
+        jnp.asarray(ref["wta_l"]), jnp.asarray(ref["wta_r"]), opts=opts
+    )
+    lr_exact = bool(
+        np.array_equal(
+            np.asarray(r_lr), ref["after_lr"], equal_nan=False
+        )
+        or not _differs(np.asarray(r_lr), ref["after_lr"], 0.0).any()
+    )
+
+    # ---- counterfactual replays on the reference's state --------------
+    @jax.jit
+    def tail_ctf_fn(lr_map, occl, mism, arms, left_img):
+        v = refine_stage.iterative_region_voting(
+            lr_map, arms, occl, mism, opts, use_pallas=False
+        )
+        i = refine_stage.proper_interpolation(
+            v, left_img, occl, mism, opts, use_pallas=False
+        )
+        return v, i, refine_stage.median_filter_3x3_inplace(i)
+
+    @jax.jit
+    def im_ctf_fn(vote_map, occl, mism, left_img):
+        i = refine_stage.proper_interpolation(
+            vote_map, left_img, occl, mism, opts, use_pallas=False
+        )
+        return i, refine_stage.median_filter_3x3_inplace(i)
+
+    arms = jnp.asarray(ours["arms"])
+    left_j = jnp.asarray(left)
+    _, _, tail_m = tail_ctf_fn(r_lr, r_occl, r_mism, arms, left_j)
+    _, im_m = im_ctf_fn(
+        jnp.asarray(ref["after_vote"]), r_occl, r_mism, left_j
+    )
+    tail_m = np.asarray(tail_m)
+    im_m = np.asarray(im_m)
+
+    ours_final = ours["disparity"]
+    ref_final = ref["final"]
+
+    D = _differs(ours_final, ref_final)
+    n = int(D.sum())
+    t_ref = ~_differs(tail_m, ref_final)
+    t_ours = ~_differs(tail_m, ours_final)
+    i_ref = ~_differs(im_m, ref_final)
+
+    interp_med = D & ~i_ref
+    rem = D & ~interp_med
+    boundary = rem & t_ref & t_ours
+    upstream = rem & t_ref & ~t_ours
+    vote = rem & t_ours & ~t_ref
+    other = rem & ~t_ref & ~t_ours
+
+    # first-divergence stage of our actual chain (supporting evidence)
+    stages = [
+        ("wta", ours.get("disp_left_raw"), ref["wta_l"]),
+        ("lr", ours.get("after_lr_check"), ref["after_lr"]),
+        ("vote", ours.get("after_voting"), ref["after_vote"]),
+        ("interp", ours.get("after_interpolation"), ref["after_interp"]),
+        ("median", ours_final, ref_final),
+    ]
+    first_div = {}
+    seen = np.zeros_like(D)
+    for sname, a, b in stages:
+        if a is None:
+            continue
+        d_s = _differs(np.asarray(a), b) & D & ~seen
+        first_div[sname] = int(d_s.sum())
+        seen |= d_s
+
+    total = ours_final.size
+    res = {
+        "pair": label,
+        "pixels": total,
+        "n_disagree": n,
+        "agreement": round(1.0 - n / total, 6),
+        "lr_replay_exact": lr_exact,
+        "classes": {
+            "upstream": int(upstream.sum()),
+            "vote_order": int(vote.sum()),
+            "interp_med": int(interp_med.sum()),
+            "boundary": int(boundary.sum()),
+            "other": int(other.sum()),
+        },
+        "first_divergence": first_div,
+    }
+    expl = n - int(other.sum())
+    res["explained_pct"] = round(100.0 * expl / max(n, 1), 2)
+    return res
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", nargs="*", default=None,
+                    help="config labels (default: all five)")
+    ap.add_argument("--crop", type=int, default=None,
+                    help="run on a top-left NxN crop (smoke test)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception as e:
+        print(f"warning: could not pin cpu: {e}", file=sys.stderr)
+    from adcensus_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    out = []
+    for label, name, dmin, dmax in CONFIGS:
+        if args.pairs and label not in args.pairs:
+            continue
+        print(f"[attribution] {label} ...", file=sys.stderr, flush=True)
+        res = attribute_pair(label, name, dmin, dmax, crop=args.crop)
+        print(json.dumps(res), flush=True)
+        out.append(res)
+
+    path = os.path.join(ROOT, "PARITY_ATTRIBUTION.json")
+    json.dump({"configs": out}, open(path, "w"), indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+
+    # markdown table
+    print("\n| config | disagree px | agree | upstream | vote_order |"
+          " interp_med | boundary | other | explained |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in out:
+        c = r["classes"]
+        print(
+            f"| {r['pair']} | {r['n_disagree']} | {r['agreement']:.4f} |"
+            f" {c['upstream']} | {c['vote_order']} | {c['interp_med']} |"
+            f" {c['boundary']} | {c['other']} | {r['explained_pct']}% |"
+        )
+
+
+if __name__ == "__main__":
+    main()
