@@ -49,7 +49,7 @@ def _probe_tunnel() -> None:
     import socket
 
     deadline = time.perf_counter() + float(
-        os.environ.get("ADC_BENCH_TUNNEL_WAIT_S", "120")
+        os.environ.get("ADC_BENCH_TUNNEL_WAIT_S", "600")
     )
     while True:
         try:

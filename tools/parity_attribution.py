@@ -280,7 +280,18 @@ def main():
         out.append(res)
 
     path = os.path.join(ROOT, "PARITY_ATTRIBUTION.json")
-    json.dump({"configs": out}, open(path, "w"), indent=1)
+    merged: dict = {"configs": []}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            pass
+    by_pair = {r["pair"]: r for r in merged.get("configs", [])}
+    by_pair.update({r["pair"]: r for r in out})
+    merged["configs"] = [
+        by_pair[lbl] for lbl, *_ in CONFIGS if lbl in by_pair
+    ]
+    json.dump(merged, open(path, "w"), indent=1)
     print(f"wrote {path}", file=sys.stderr)
 
     # markdown table

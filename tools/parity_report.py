@@ -177,6 +177,42 @@ def main() -> None:
             "Both modes beat the reference there by ≥2×.",
             "",
         ]
+    attr_path = os.path.join(ROOT, "PARITY_ATTRIBUTION.json")
+    if os.path.exists(attr_path):
+        attr = json.load(open(attr_path)).get("configs", [])
+        lines += [
+            "## Per-pixel disagreement attribution (parity mode)",
+            "",
+            "Every parity-mode pixel differing >0.5 disparity from the "
+            "reference binary, classified by counterfactual replays of "
+            "the dense refine tail on the reference's own stage "
+            "intermediates (tools/parity_attribution.py; oracle "
+            "stage-dump mode in tools/oracle_main.cpp). `upstream` = "
+            "cost-volume float/tie differences feeding WTA; "
+            "`vote_order` = dense simultaneous region-voting fills vs "
+            "the reference's sequential in-pass list order "
+            "(multistep_refiner.cpp:169-225) — the one documented, "
+            "deliberate semantic deviation; `interp_med` = "
+            "interpolation/median deviations on identical input "
+            "(zero everywhere = both stages are exact re-statements); "
+            "`other` = unexplained residue. `lr_exact` marks the LR "
+            "check reproducing the reference bitwise on its own WTA "
+            "maps.",
+            "",
+            "| config | disagree px | agree | upstream | vote_order | "
+            "interp_med | boundary | other | explained | lr_exact |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for r in attr:
+            c = r["classes"]
+            lines.append(
+                f"| {r['pair']} | {r['n_disagree']} | "
+                f"{r['agreement']:.4f} | {c['upstream']} | "
+                f"{c['vote_order']} | {c['interp_med']} | "
+                f"{c['boundary']} | {c['other']} | "
+                f"{r['explained_pct']}% | {r['lr_replay_exact']} |"
+            )
+        lines.append("")
     with open(os.path.join(ROOT, "PARITY.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote PARITY.md")
