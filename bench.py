@@ -5,7 +5,7 @@ Measures steady-state end-to-end throughput of the full AD-Census pipeline
 whatever accelerator JAX sees (real TPU under the driver).
 
 Timeout robustness (round-2 failure: driver rc=124 with zero output):
-the three measurement programs are ordered cheapest-compile-first and a
+the four measurement programs are ordered cheapest-compile-first and a
 valid JSON line is printed (and flushed) as soon as EACH program's warm
 measurement lands — the driver parses the LAST line, so an upgraded line
 simply replaces the earlier one, and a timeout mid-run still leaves a
@@ -115,6 +115,8 @@ def main() -> None:
             "density_pct": round(state["extra"].get("density_pct", -1.0), 2),
             "backend": jax.default_backend(),
         }
+        if "piano256_mpixd_s" in state["extra"]:
+            extra["piano256_mpixd_s"] = state["extra"]["piano256_mpixd_s"]
         extra.update({k: round(v, 4) for k, v in timings.items()})
         print(
             json.dumps(
@@ -148,9 +150,9 @@ def main() -> None:
     # measurement below syncs by fetching real bytes.  Queuing iters
     # dispatches and fetching only the last amortizes the ~100 ms
     # tunnel RPC latency.
-    log("program 1/3: single-stream match (compiling)...")
+    log("program 1/4: single-stream match (compiling)...")
     disp_np = np.asarray(pipeline.match_device(left_d, right_d, opts))
-    log("program 1/3: compiled; measuring")
+    log("program 1/4: compiled; measuring")
     metrics = evaluate(disp_np, gt)
     state["extra"].update(metrics)
     iters = 10
@@ -174,7 +176,7 @@ def main() -> None:
     # re-ties the inputs each iteration so XLA cannot hoist the
     # loop-invariant match out); removes per-dispatch RPC entirely.
     if within_budget("program 2 (amortized loop)"):
-        log("program 2/3: amortized fori-loop match (compiling)...")
+        log("program 2/4: amortized fori-loop match (compiling)...")
         N = 20
 
         @jax.jit
@@ -189,16 +191,49 @@ def main() -> None:
             return acc
 
         np.asarray(run_n(left_d, right_d))  # compile + warm
-        log("program 2/3: compiled; measuring")
+        log("program 2/4: compiled; measuring")
         t0 = time.perf_counter()
         np.asarray(run_n(left_d, right_d))
         timings["device_amortized_s"] = (time.perf_counter() - t0) / N
         emit(timings)
 
+    # ---- Program 4 (separate pair, biggest volume): Piano256 ----
+    # BASELINE config 4 (memory-stress: 707x481, D=256). Runs BEFORE the
+    # batched program when budget remains after program 2; its result
+    # rides in the `extra` dict of the re-emitted cone line, so the
+    # driver-parsed tail line keeps the cone_throughput contract while
+    # recording the memory-stress number.
+    if within_budget("program 4 (Piano256)"):
+        import dataclasses as _dc
+
+        log("program 4/4: Piano256 single-stream (compiling)...")
+        try:
+            p_pair = get_pair("Piano")
+            p_left, p_right, _ = p_pair.load()
+            p_opts = ADCensusOptions(min_disparity=0, max_disparity=256)
+            pl = jax.device_put(jnp.asarray(p_left))
+            pr = jax.device_put(jnp.asarray(p_right))
+            np.asarray(pipeline.match_device(pl, pr, p_opts))  # warm
+            log("program 4/4: compiled; measuring")
+            it = 5
+            t0 = time.perf_counter()
+            outs_p = [
+                pipeline.match_device(pl, pr, p_opts) for _ in range(it)
+            ]
+            np.asarray(outs_p[-1])
+            p_s = (time.perf_counter() - t0) / it
+            ph, pw, _ = p_left.shape
+            state["extra"]["piano256_mpixd_s"] = round(
+                ph * pw * 256 / p_s / 1e6, 1
+            )
+            emit(timings)
+        except Exception as e:  # HBM pressure must not kill the cone line
+            log(f"program 4 failed (non-fatal): {type(e).__name__}: {e}")
+
     # ---- Program 3 (most expensive compile): batched B=8 ----
     # B pairs per dispatch — the serving configuration.
     if within_budget("program 3 (batched)"):
-        log("program 3/3: batched B=8 match (compiling)...")
+        log("program 3/4: batched B=8 match (compiling)...")
         B = 8
         lefts = jax.device_put(jnp.broadcast_to(left_d, (B,) + left_d.shape))
         rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
@@ -206,7 +241,7 @@ def main() -> None:
             pipeline.match_batched_device(lefts, rights, opts)
         )  # warm-up
         assert _same(batch_np[0], disp_np)
-        log("program 3/3: compiled; measuring")
+        log("program 3/4: compiled; measuring")
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
