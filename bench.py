@@ -103,7 +103,11 @@ def main() -> None:
     state = {"best": None, "extra": {}}
 
     def emit(timings: dict) -> None:
-        """Print one full JSON result line using the best timing so far."""
+        """Print one full JSON result line using the best timing so far.
+
+        Each line is also appended to bench_lines.jsonl so the evidence
+        survives even if the driver's stdout capture fails (round-2
+        failure mode: rc=124 left zero driver-visible output)."""
         best = min(timings.values())
         state["best"] = best
         mpixd_s = work / best / 1e6
@@ -118,18 +122,24 @@ def main() -> None:
         if "piano256_mpixd_s" in state["extra"]:
             extra["piano256_mpixd_s"] = state["extra"]["piano256_mpixd_s"]
         extra.update({k: round(v, 4) for k, v in timings.items()})
-        print(
-            json.dumps(
-                {
-                    "metric": "cone_throughput",
-                    "value": round(mpixd_s, 2),
-                    "unit": "Mpix*disp/s",
-                    "vs_baseline": round(vs, 2),
-                    "extra": extra,
-                }
-            ),
-            flush=True,
+        line = json.dumps(
+            {
+                "metric": "cone_throughput",
+                "value": round(mpixd_s, 2),
+                "unit": "Mpix*disp/s",
+                "vs_baseline": round(vs, 2),
+                "extra": extra,
+            }
         )
+        print(line, flush=True)
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_lines.jsonl"), "a"
+            ) as f:
+                f.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} {line}\n")
+        except OSError:
+            pass  # persistence is best-effort; stdout already has the line
         log(f"emitted {mpixd_s:.1f} Mpix*disp/s ({best * 1e3:.2f} ms/match)")
 
     def within_budget(label: str) -> bool:
