@@ -100,7 +100,8 @@ def _mm_v(mv: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
 
 
 def _split_mm(
-    mm, mask: jnp.ndarray, vol: jnp.ndarray, terms: int = 2
+    mm, mask: jnp.ndarray, vol: jnp.ndarray, terms: int = 2,
+    strategy: str = "auto",
 ) -> jnp.ndarray:
     """Multi-term bfloat16 split matmul (masks are exact 0/1): each
     term captures the bfloat16 rounding residual of the previous one,
@@ -113,19 +114,29 @@ def _split_mm(
     Strategy is size-aware: stacking the terms along the free d axis
     into ONE matmul reads the band matrix from HBM once but
     materializes a terms× volume concat; separate matmuls read the
-    mask terms× but skip the concat. Small volumes (vs the masks) take
-    the concat; large-D volumes take separate matmuls."""
+    mask terms× but skip the concat. The stack is built directly in
+    the mask dtype (the matmul casts the operand there anyway —
+    identical rounding), so at bfloat16 the concat costs half the
+    bytes the heuristic used to assume and it wins for every bundled
+    configuration except Piano-class D=256, where the volume dwarfs
+    the band. Bonus: the stacked matmul's free dimension is terms*D,
+    better MXU utilization at small D."""
     d = vol.shape[0]
     parts = []
     rem = vol
     for _ in range(terms - 1):
-        t = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        t = rem.astype(mask.dtype)
         parts.append(t)
-        rem = rem - t
-    parts.append(rem)
-    concat_bytes = 2 * (terms * vol.size * 4)  # write + read the stack
-    extra_mask_bytes = (terms - 1) * mask.size * mask.dtype.itemsize
-    if concat_bytes > extra_mask_bytes:
+        rem = rem - t.astype(vol.dtype)
+    parts.append(rem.astype(mask.dtype))
+    bpe = mask.dtype.itemsize
+    concat_bytes = 2 * (terms * vol.size * bpe)  # write + read the stack
+    extra_mask_bytes = (terms - 1) * mask.size * bpe
+    separate = (
+        concat_bytes > extra_mask_bytes if strategy == "auto"
+        else strategy == "separate"
+    )
+    if separate:
         out = mm(mask, parts[0])
         for p in parts[1:]:
             out = out + mm(mask, p)

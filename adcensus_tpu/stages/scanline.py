@@ -46,13 +46,21 @@ def penalty_code(
     axis: str,
     forward: bool,
     rolled: bool | None = None,
+    real_w: int | None = None,
 ) -> jnp.ndarray:
     """(D, H, W) uint8 penalty-code volume for one pass direction.
 
     ``rolled`` selects a lax.map-over-d build (one compiled plane body;
     default on the CPU backend, where D unrolled copies blow up compile
-    time). Bitwise identical to the unrolled static-shift form."""
+    time). Bitwise identical to the unrolled static-shift form.
+
+    ``real_w``: the image's true width when the arrays carry right-side
+    lane padding (scanline_optimize's pre-pad) — the sticky-d2 boundary
+    conditions (scanline_optimizer.cpp:116-126) must use the real border,
+    not the padded one. Codes at pad columns are arbitrary (FLAG_PAD
+    steps never read them)."""
     h, w, _ = left.shape
+    rw = w if real_w is None else real_w
     d_range = opts.disp_range
     direction = 1 if forward else -1
     dy, dx = (0, direction) if axis == "x" else (direction, 0)
@@ -75,7 +83,7 @@ def penalty_code(
         def plane(di):
             d = di + opts.min_disparity
             xr = x1 - d
-            use_d1 = (xr >= w - 1) | ((x1 - opts.min_disparity) <= 0)
+            use_d1 = (xr >= rw - 1) | ((x1 - opts.min_disparity) <= 0)
             shifted = jax.lax.dynamic_slice(rd_p, (0, span - d), (h, w))
             sticky = jnp.where(xr < 1, rd_col1, shifted)
             d2 = jnp.where(use_d1, d1, sticky)
@@ -87,7 +95,7 @@ def penalty_code(
     planes = []
     for di in range(d_range):
         xr = x[0] - di - opts.min_disparity  # (1, W)
-        use_d1 = (xr >= w - 1) | ((x[0] - opts.min_disparity) <= 0)
+        use_d1 = (xr >= rw - 1) | ((x[0] - opts.min_disparity) <= 0)
         shifted = shift2d(rd, 0, di + opts.min_disparity, 0)
         sticky = jnp.where(xr < 1, rd_col1, shifted)
         planes.append(jnp.where(use_d1, d1, sticky))
@@ -191,15 +199,18 @@ def scanline_pass(
     forward: bool,
     use_pallas: bool | None = None,
     valid_s: jnp.ndarray | None = None,
+    real_w: int | None = None,
 ) -> jnp.ndarray:
     """One directional pass over a (D, H, W) volume.
 
     ``valid_s``: optional (S,) bool marking real (non-padding) positions
     along the scan axis in volume orientation (W for axis 'x', H for 'y');
     used by the sharded pipeline, which pads images to tile multiples.
+    ``real_w``: true image width when the arrays carry lane pre-padding
+    (see scanline_optimize).
     """
     use_pallas = resolve_use_pallas(use_pallas)
-    code = penalty_code(left, right, opts, axis, forward)
+    code = penalty_code(left, right, opts, axis, forward, real_w=real_w)
     s_len = cost.shape[2] if axis == "x" else cost.shape[1]
     v = valid_s
     if v is not None and not forward:
@@ -239,12 +250,48 @@ def scanline_optimize(
     use_pallas: bool | None = None,
     valid_w: jnp.ndarray | None = None,
     valid_h: jnp.ndarray | None = None,
+    lane_pad: bool | None = None,
 ) -> jnp.ndarray:
     """Four sequential directional passes: L→R, R→L, U→D, D→U, each
-    consuming the previous pass's output (scanline_optimizer.cpp:53-60)."""
+    consuming the previous pass's output (scanline_optimizer.cpp:53-60).
+
+    ``lane_pad`` (auto: on with the Pallas kernels when W is not a
+    multiple of the 128-lane tile and the caller isn't already padding):
+    pre-pads W to the lane multiple and runs the padded program. The
+    physical HBM footprint is identical (the minor dim is tile-padded
+    either way), but tile-aligned *logical* shapes keep XLA's cross-pass
+    transpose/fusion behavior on the fast path (Wood2's W=653 composed
+    4-pass ran ~2× its isolated-pass sum; Cloth3's lane-aligned 626→640
+    did not — BENCH_DETAIL.md). Bit-exact: pad scan steps are FLAG_PAD
+    (carry pass-through), pad lanes are independent DP paths sliced off
+    at the end, and the sticky-d2 boundary uses ``real_w``."""
+    w = cost.shape[2]
+    wp = -(-w // 128) * 128
+    if lane_pad is None:
+        # auto ON for the kernel path at misaligned W: measured on the
+        # real chip (tools/scanline_probe.py --sections pad, quiet box,
+        # loop-amortized 30 iters): Wood2 shape 555x128xW, W 653->768:
+        # 15.21 -> 10.46 ms for the composed 4-pass stage (-31 %) —
+        # tile-aligned logical shapes keep XLA's cross-pass transpose
+        # fusion on the fast path, worth far more than the +17.6 %
+        # FLAG_PAD grid steps the padding adds
+        lane_pad = resolve_use_pallas(use_pallas)
+    lane_pad = (
+        lane_pad and wp != w and valid_w is None and valid_h is None
+    )
+    real_w = None
+    if lane_pad and wp != w:
+        cost = jnp.pad(cost, ((0, 0), (0, 0), (0, wp - w)))
+        left = jnp.pad(left, ((0, 0), (0, wp - w), (0, 0)))
+        right = jnp.pad(right, ((0, 0), (0, wp - w), (0, 0)))
+        valid_w = jnp.arange(wp) < w
+        real_w = w
     for axis, fwd in (("x", True), ("x", False), ("y", True), ("y", False)):
         cost = scanline_pass(
             cost, left, right, opts, axis, fwd, use_pallas,
             valid_s=valid_w if axis == "x" else valid_h,
+            real_w=real_w,
         )
+    if real_w is not None:
+        cost = cost[:, :, :w]
     return cost

@@ -64,6 +64,26 @@ def test_scanline_full(small_pair, small_opts, oracle_result):
     np.testing.assert_allclose(out, oracle_result["cost_scan"], atol=1e-5)
 
 
+def test_scanline_lane_pad_exact(small_pair, small_opts, oracle_result):
+    """W lane pre-padding (scanline_optimize(lane_pad=True)) is bitwise
+    identical to the unpadded program: pad scan steps are FLAG_PAD
+    (carry pass-through), pad lanes are independent DP paths sliced off,
+    and the sticky-d2 boundary uses the real width (real_w)."""
+    left, right = small_pair
+    vol = _dhw(oracle_result["cost_aggr"])
+    base = np.array(
+        scan_stage.scanline_optimize(
+            vol, left, right, small_opts, use_pallas=True, lane_pad=False
+        )
+    )
+    padded = np.array(
+        scan_stage.scanline_optimize(
+            vol, left, right, small_opts, use_pallas=True, lane_pad=True
+        )
+    )
+    np.testing.assert_array_equal(padded, base)
+
+
 def test_wta_left(small_opts, oracle_result):
     vol = _dhw(oracle_result["cost_scan"])
     out = np.array(wta_stage.wta_left(vol, small_opts))

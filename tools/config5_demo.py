@@ -163,7 +163,27 @@ def main() -> None:
     gl = cost_stage.compute_gray_host64(left)
     gr = cost_stage.compute_gray_host64(right)
     compile_rows = {}
-    for n in (2, 8):
+    # the full-res XLA CPU compiles take >1.5 h each on this box's ONE
+    # core — allow running/re-running one n at a time (--ns 8) and merge
+    # into an existing CONFIG5.json
+    ns = (2, 8)
+    if "--ns" in sys.argv:
+        i = sys.argv.index("--ns")
+        ns = tuple(int(x) for x in sys.argv[i + 1].split(","))
+    prev_path = os.path.join(ROOT, "CONFIG5.json")
+    if os.path.exists(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+            compile_rows.update(
+                prev.get("fullres_compile_check", {})
+            )
+        except Exception:
+            pass
+    def _checkpoint():
+        out["fullres_compile_check"] = compile_rows
+        json.dump(out, open(prev_path, "w"), indent=1)
+
+    for n in ns:
         mesh = Mesh(devs[:n].reshape(n), ("tile",))
         t0 = time.perf_counter()
         lowered = match_sharded.lower(
@@ -172,6 +192,12 @@ def main() -> None:
             opts=opts, mesh=mesh, use_pallas=False, volume_axis="disp",
         )
         t_lower = time.perf_counter() - t0
+        # persist the lower() evidence NOW: the XLA CPU compile below
+        # runs >1.5 h on this one-core box and a timeout must not wipe
+        # the fact that tracing/sharding at true shape succeeded
+        compile_rows[n] = {"lower_s": round(t_lower, 1), "ok": "lowered"}
+        _checkpoint()
+        print(json.dumps({f"lower_n{n}": compile_rows[n]}), flush=True)
         t0 = time.perf_counter()
         compiled = lowered.compile()
         t_compile = time.perf_counter() - t0
@@ -188,8 +214,21 @@ def main() -> None:
             "argument_size_gb": arg_gb,
             "temp_size_gb": tmp_gb,
         }
+        _checkpoint()
         print(json.dumps({f"compile_n{n}": compile_rows[n]}), flush=True)
     out["fullres_compile_check"] = compile_rows
+
+    if "--skip-stream" in sys.argv:
+        if os.path.exists(prev_path):
+            try:
+                prev = json.load(open(prev_path))
+                if "batched_stream" in prev:
+                    out["batched_stream"] = prev["batched_stream"]
+            except Exception:
+                pass
+        json.dump(out, open(prev_path, "w"), indent=1)
+        print(f"wrote {prev_path}", file=sys.stderr)
+        return
 
     # ---- 4. batched multi-pair stream, executed at reduced shape ------
     # quarter-res-scale stream (Piano quarter-res is 707×481 D=64; a

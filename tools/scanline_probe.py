@@ -50,12 +50,37 @@ def main() -> None:
         i = argv.index("--widths")
         widths = [int(x) for x in argv[i + 1 :]]
         argv = argv[:i]
+    # sections: pass (per-direction), kernel (kernel vs transpose), pad
+    # (explicit pre-pad variants) — compiles through the tunnel cost
+    # minutes each, so runs usually pick one section at a time
+    sections = {"pass", "kernel", "pad"}
+    if "--sections" in argv:
+        i = argv.index("--sections")
+        sections = set(argv[i + 1].split(","))
+        argv = argv[: i] + argv[i + 2 :]
+    ref_widths = None  # pass/kernel sections' widths (default both)
+    if "--ref-widths" in argv:
+        i = argv.index("--ref-widths")
+        j = i + 1
+        ref_widths = []
+        while j < len(argv) and argv[j].isdigit():
+            ref_widths.append(int(argv[j]))
+            j += 1
+        argv = argv[:i] + argv[j:]
+    geom = None  # --geom H D W: probe an arbitrary shape's 4-pass stage
+    if "--geom" in argv:
+        i = argv.index("--geom")
+        geom = tuple(int(x) for x in argv[i + 1 : i + 4])
+        argv = argv[:i] + argv[i + 4 :]
     smoke = "--smoke" in argv
     argv = [a for a in argv if a != "--smoke"]
     iters = int(argv[0]) if argv else 30
 
     H, D = 555, 128
     w_a, w_b = 626, 653  # Cloth3 / Wood2 widths
+    if geom:
+        H, D, w_b = geom
+        w_a = w_b
     if smoke:  # CPU syntax/shape check: tiny shapes, jnp backend sizes
         H, D, iters = 32, 8, 2
         w_a, w_b = 29, 37
@@ -88,10 +113,11 @@ def main() -> None:
         right = jnp.asarray(rng.integers(0, 255, (H, w, 3)), jnp.uint8)
         return cost, left, right
 
+    rw = tuple(ref_widths) if ref_widths else (w_a, w_b)
     print(f"H={H} D={D} iters={iters}", flush=True)
 
     # ---- per-direction pass times at the two reference widths --------
-    for w in (w_a, w_b):
+    for w in rw if "pass" in sections else ():
         cost, left, right = mk(w)
         for axis, fwd in (("x", True), ("x", False),
                           ("y", True), ("y", False)):
@@ -105,7 +131,7 @@ def main() -> None:
                   f"{dt * 1e3:7.2f} ms", flush=True)
 
     # ---- kernel-only vs transpose-only (y forward) -------------------
-    for w in (w_a, w_b):
+    for w in rw if "kernel" in sections else ():
         cost, left, right = mk(w)
         code = scan_stage.penalty_code(left, right, opts, "y", True)
         flags = scan_stage._scan_flags(H, None)
@@ -130,6 +156,8 @@ def main() -> None:
               f"to+from transpose: {dt_t * 1e3:7.2f} ms", flush=True)
 
     # ---- explicit W pre-padding variants, full 4-pass scanline -------
+    if "pad" not in sections:
+        return
     cost0, left0, right0 = mk(w_b)
     for wpad in widths:
         if wpad < w_b:
@@ -140,8 +168,12 @@ def main() -> None:
         right = jnp.pad(right0, ((0, 0), (0, pad), (0, 0)))
         valid_w = jnp.arange(wpad) < w_b if pad else None
         dt = looped(
+            # lane_pad=False: the probe measures the EXPLICIT padding
+            # variants; the base width must stay the raw program even
+            # now that scanline_optimize lane-pads by default
             lambda c, l, r: scan_stage.scanline_optimize(
-                c, l, r, opts, use_pallas=True, valid_w=valid_w
+                c, l, r, opts, use_pallas=True, valid_w=valid_w,
+                lane_pad=False,
             ),
             iters, cost, left, right,
         )

@@ -25,7 +25,18 @@ sys.path.insert(0, ROOT)
 
 
 def main() -> None:
+    # honor JAX_PLATFORMS under the axon sitecustomize (which pins the
+    # TPU backend at interpreter start) — CPU smoke runs must not dial
+    # (or contend for) the tunnel
+    plat = os.environ.get("JAX_PLATFORMS")
     import jax
+
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception as e:
+            print(f"warning: could not apply JAX_PLATFORMS: {e}",
+                  file=sys.stderr)
     import jax.numpy as jnp
 
     from adcensus_tpu.utils.cache import enable_compile_cache
@@ -42,6 +53,11 @@ def main() -> None:
 
     argv = [a for a in sys.argv[1:] if a != "--refine-detail"]
     refine_detail = "--refine-detail" in sys.argv[1:]
+    only = None  # --stages aggregate,voting: skip other rows' compiles
+    if "--stages" in argv:
+        i = argv.index("--stages")
+        only = {s.strip() for s in argv[i + 1].split(",")}
+        argv = argv[:i] + argv[i + 2 :]
     pair_name = argv[0] if argv else "Cone"
     iters = int(argv[1]) if len(argv) > 1 else 50
     # label overrides matching tools/parity_report.py's configs
@@ -68,17 +84,33 @@ def main() -> None:
         cr = cost_stage.census_transform_9x7(gray_r)
         return cost_stage.compute_cost_volume(left, right, cl, cr, opts)
 
-    # materialize stage inputs once
+    # materialize stage inputs once; with --stages, stop the chain at
+    # the deepest requested stage (each jit below is its own tunnel
+    # compile, so unneeded links are pure wasted minutes)
+    chain = ["cost", "arms", "aggregate", "scanline", "wta", "refine"]
+    deps = {  # deepest chain link each selectable row needs
+        "cost": "cost", "arms": "arms", "aggregate": "aggregate",
+        "scanline": "scanline", "wta": "wta", "refine": "refine",
+        "lr_check": "refine", "voting": "refine", "interp": "refine",
+        "median": "refine", "dda": "refine",
+    }
+    depth = len(chain) - 1 if only is None else max(
+        chain.index(deps[s]) for s in only if s in deps
+    )
     cost_init = jax.jit(stage_cost)(left, right, gray_l, gray_r)
     arms = jax.jit(lambda l: arms_stage.build_arms(l, opts))(left)
-    cost_aggr = jax.jit(lambda c, a: agg_stage.aggregate(c, a, opts))(
-        cost_init, arms
-    )
-    cost_scan = jax.jit(
-        lambda c, l, r: scan_stage.scanline_optimize(c, l, r, opts)
-    )(cost_aggr, left, right)
-    disp_l = jax.jit(lambda c: wta_stage.wta_left(c, opts))(cost_scan)
-    disp_r = jax.jit(lambda c: wta_stage.wta_right(c, opts))(cost_scan)
+    cost_aggr = cost_scan = disp_l = disp_r = None
+    if depth >= 2:
+        cost_aggr = jax.jit(lambda c, a: agg_stage.aggregate(c, a, opts))(
+            cost_init, arms
+        )
+    if depth >= 3:
+        cost_scan = jax.jit(
+            lambda c, l, r: scan_stage.scanline_optimize(c, l, r, opts)
+        )(cost_aggr, left, right)
+    if depth >= 4:
+        disp_l = jax.jit(lambda c: wta_stage.wta_left(c, opts))(cost_scan)
+        disp_r = jax.jit(lambda c: wta_stage.wta_right(c, opts))(cost_scan)
 
     stages = {
         "cost": (stage_cost, (left, right, gray_l, gray_r)),
@@ -110,16 +142,19 @@ def main() -> None:
         disp0, occl, mism = jax.jit(
             lambda a, b: refine_stage.outlier_detection(a, b, opts)
         )(disp_l, disp_r)
-        after_vote = jax.jit(
-            lambda d, a, o, m: refine_stage.iterative_region_voting(
-                d, a, o, m, opts
-            )
-        )(disp0, arms, occl, mism)
-        after_interp = jax.jit(
-            lambda d, l, o, m: refine_stage.proper_interpolation(
-                d, l, o, m, opts
-            )
-        )(after_vote, left, occl, mism)
+        after_vote = after_interp = None
+        if only is None or only & {"interp", "median", "dda"}:
+            after_vote = jax.jit(
+                lambda d, a, o, m: refine_stage.iterative_region_voting(
+                    d, a, o, m, opts
+                )
+            )(disp0, arms, occl, mism)
+        if only is None or only & {"median", "dda"}:
+            after_interp = jax.jit(
+                lambda d, l, o, m: refine_stage.proper_interpolation(
+                    d, l, o, m, opts
+                )
+            )(after_vote, left, occl, mism)
         stages.update({
             "  lr_check": (
                 lambda a, b: refine_stage.outlier_detection(a, b, opts)[0],
@@ -174,6 +209,8 @@ def main() -> None:
     print(f"{pair_name} {w}x{h} D={opts.disp_range}  iters={iters}  "
           f"(rpc floor ~{rpc * 1e3:.0f} ms)")
     for name, (fn, args) in stages.items():
+        if only is not None and name.strip() not in only:
+            continue
         run = looped(fn, iters)
         np.asarray(run(*args))  # compile + warm
         t0 = time.perf_counter()
