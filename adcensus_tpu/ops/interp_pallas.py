@@ -99,8 +99,13 @@ def _ray_interp_kernel(
         jj = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
 
     def body(j, carry):
-        # found carried as f32 0/1: Mosaic miscompiles (r, w) i1 carries
-        found, val, key = carry
+        # "found" is implicit: key stays exactly BIG until the first
+        # take (dist <= 765 and disparities << BIG), so key >= BIG is
+        # the not-yet-hit mask — one carry plane and one update per
+        # step cheaper than an explicit found carry. In occlusion mode
+        # the selection key IS the candidate disparity, so val is
+        # dropped too and the fill is read from key.
+        val, key = carry
         dy = offs_ref[0, j, 0]
         dx = offs_ref[0, j, 1]
         cand = shifted(disp_ref, dy, dx)
@@ -112,9 +117,9 @@ def _ray_interp_kernel(
                 (ri >= 0) & (ri < h_img) & (ci >= 0) & (ci < w_img)
             )
             valid = valid & in_img
-        take = valid & (found == 0.0)
-        val = jnp.where(take, cand, val)
+        take = valid & (key >= BIG)
         if is_mismatch:
+            val = jnp.where(take, cand, val)
             cr, cg, cb = unpack(shifted(cpk_ref, dy, dx))
             dist = (
                 jnp.abs(cr - cen[0])
@@ -124,14 +129,15 @@ def _ray_interp_kernel(
             key = jnp.where(take, dist.astype(jnp.float32), key)
         else:
             key = jnp.where(take, cand, key)
-        return jnp.maximum(found, valid.astype(jnp.float32)), val, key
+        return val, key
 
     init = (
         jnp.zeros((r, w), jnp.float32),
-        jnp.zeros((r, w), jnp.float32),
         jnp.full((r, w), BIG, jnp.float32),
     )
-    _, val, key = jax.lax.fori_loop(0, n_steps, body, init)
+    val, key = jax.lax.fori_loop(0, n_steps, body, init)
+    if not is_mismatch:
+        val = key  # occlusion: selection key == candidate disparity
     found = (key < BIG) & (tgt_ref[...] > 0.0)
 
     @pl.when(ray == 0)
