@@ -82,6 +82,8 @@ def aggregate(
     "jnp" (bit-exact masked rolls in the reference's summation order).
     The band matrices are built once and reused across all iterations.
     """
+    import os
+
     from adcensus_tpu.ops.basic import resolve_cross_backend
     from adcensus_tpu.ops.cross_matmul import band_masks
 
@@ -89,11 +91,33 @@ def aggregate(
     sup_h, sup_v = support_counts(arms, max_arm)
     sup_h = sup_h.astype(jnp.float32)
     sup_v = sup_v.astype(jnp.float32)
-    masks = (
-        band_masks(arms, max_arm)
-        if resolve_cross_backend(use_pallas) == "matmul"
-        else None
-    )
+    impl = os.environ.get("ADC_AGG_IMPL")
+    if impl == "skip":  # ablation-only: cost of the stage by absence
+        return cost
+    backend = resolve_cross_backend(use_pallas)
+    if backend == "matmul" and impl == "banded":
+        # Opt-in blocked-band Pallas kernel (ops/band_mm_pallas.py).
+        # Measured dead end on the bench chip (interleaved in-process
+        # A/B, Cone fused match: XLA dense 12.6 ms, banded 19.2 ms,
+        # aggregation skipped 13.1 ms): XLA fuses the band-mask
+        # GENERATION into the einsum (the (H, W, W) bf16 masks never
+        # touch HBM), so the dense path's real cost is near zero and a
+        # smaller hand-built mask cannot beat it. Kept as the
+        # ADC_AGG_IMPL=banded backend with exact-mirror tests; the
+        # skip row also shows aggregation pays for itself downstream
+        # (a noisier volume slows the refine tail by more than the
+        # aggregation costs).
+        from adcensus_tpu.ops.band_mm_pallas import (
+            aggregate_banded,
+            banded_fits,
+        )
+
+        d, h, w = cost.shape
+        if banded_fits(d, h, w, max_arm):
+            return aggregate_banded(
+                cost, arms, sup_h, sup_v, max_arm, num_iters
+            )
+    masks = band_masks(arms, max_arm) if backend == "matmul" else None
 
     horizontal_first = True
     for _ in range(num_iters):

@@ -31,9 +31,10 @@ def test_aggregate_pallas_matches_jnp_ref(small_opts, oracle_result):
     np.testing.assert_array_equal(out_p, out_j)
 
 
-def test_aggregate_matmul_close(small_opts, oracle_result):
+def test_aggregate_matmul_close(small_opts, oracle_result, monkeypatch):
     """MXU band-matrix backend vs the bit-exact jnp mirror: the 2-term
     bfloat16 split bounds the per-pass error at ~2^-17 relative."""
+    monkeypatch.setenv("ADC_AGG_IMPL", "xla")  # dense XLA band matmul
     arms = oracle_result["arms"].astype(np.int32)
     cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
     out_m = np.array(
@@ -45,6 +46,76 @@ def test_aggregate_matmul_close(small_opts, oracle_result):
         agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=False)
     )
     np.testing.assert_allclose(out_m, out_j, atol=5e-4)
+
+
+def test_aggregate_banded_kernel_close(small_opts, oracle_result,
+                                       monkeypatch):
+    """Blocked-band Pallas kernel (opt-in ADC_AGG_IMPL=banded,
+    interpret mode on CPU) vs the bit-exact jnp mirror: same hi/lo
+    bfloat16 split as the XLA band matmul, so the same tolerance must
+    hold — including the padded rows/columns/d-planes staying
+    contained (odd H/W, D not a lane multiple)."""
+    monkeypatch.setenv("ADC_AGG_IMPL", "banded")
+    arms = oracle_result["arms"].astype(np.int32)
+    cost_init = np.transpose(oracle_result["cost_init"], (2, 0, 1))
+    out_b = np.array(
+        agg_stage.aggregate(
+            cost_init, arms, small_opts, use_pallas="matmul"
+        )
+    )
+    out_j = np.array(
+        agg_stage.aggregate(cost_init, arms, small_opts, use_pallas=False)
+    )
+    assert out_b.shape == out_j.shape
+    np.testing.assert_allclose(out_b, out_j, atol=5e-4)
+
+
+def test_aggregate_banded_long_arms_and_shapes():
+    """Blocked-band kernel at max_arm > 64 (PAD escalates to 128) and
+    an odd (H, W, D) vs the exact mirror."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.ops.band_mm_pallas import (
+        aggregate_banded,
+        banded_fits,
+    )
+    from adcensus_tpu.ops.cross_sum_pallas import cross_pass_ref
+
+    rng = np.random.default_rng(7)
+    d, h, w = 12, 37, 141
+    max_arm = 70
+    vol = jnp.asarray(rng.random((d, h, w), dtype=np.float32) * 2.0)
+    # random arms clipped to the border like the real builder
+    yy = np.arange(h)[:, None] * np.ones((1, w), int)
+    xx = np.arange(w)[None, :] * np.ones((h, 1), int)
+    arms = np.stack(
+        [
+            np.minimum(rng.integers(0, max_arm + 1, (h, w)), xx),
+            np.minimum(rng.integers(0, max_arm + 1, (h, w)), w - 1 - xx),
+            np.minimum(rng.integers(0, max_arm + 1, (h, w)), yy),
+            np.minimum(rng.integers(0, max_arm + 1, (h, w)), h - 1 - yy),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    assert banded_fits(d, h, w, max_arm)
+    sup_h, sup_v = agg_stage.support_counts(arms, max_arm)
+    out_b = np.array(
+        aggregate_banded(
+            vol, jnp.asarray(arms),
+            sup_h.astype(jnp.float32), sup_v.astype(jnp.float32),
+            max_arm, num_iters=2,
+        )
+    )
+    ref = vol
+    horizontal_first = True
+    for _ in range(2):
+        ref = cross_pass_ref(
+            ref, jnp.asarray(arms),
+            (sup_h if horizontal_first else sup_v).astype(jnp.float32),
+            horizontal_first, max_arm,
+        )
+        horizontal_first = not horizontal_first
+    np.testing.assert_allclose(out_b, np.array(ref), atol=5e-4, rtol=1e-4)
 
 
 def test_cross_matmul_any_arm_length():
