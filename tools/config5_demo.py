@@ -169,7 +169,10 @@ def main() -> None:
     ns = (2, 8)
     if "--ns" in sys.argv:
         i = sys.argv.index("--ns")
-        ns = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        arg = sys.argv[i + 1]
+        # --ns none: skip the full-res compile checks (stream-only pass;
+        # the >1.5 h one-core compiles run in a separate invocation)
+        ns = () if arg == "none" else tuple(int(x) for x in arg.split(","))
     prev_path = os.path.join(ROOT, "CONFIG5.json")
     if os.path.exists(prev_path):
         try:
