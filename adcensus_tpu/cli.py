@@ -98,6 +98,18 @@ def main() -> None:
         "disparities in textureless regions (see PARITY.md)",
     )
     ap.add_argument(
+        "--backend",
+        choices=("matmul", "pallas", "jnp"),
+        default=None,
+        help="cross-operator kernel backend. Default on TPU is 'matmul' "
+        "— the fast MXU band-matmul path, which trades ~0.1 bad-2.0 "
+        "on Cone (7.52 vs 7.38) for aggregation speed (f32 device "
+        "gray + bf16 reassociation can flip tie-broken disparities); "
+        "'pallas' and 'jnp' are the bit-exact masked-roll kernels "
+        "(PARITY.md quantifies the trade per pair). Overrides the "
+        "backend part of --parity",
+    )
+    ap.add_argument(
         "--timing",
         action="store_true",
         help="run stage-by-stage with device fences and print per-stage "
@@ -178,7 +190,7 @@ def main() -> None:
         opts = dataclasses.replace(opts, **overrides)
     if args.parity and "exact_median" not in overrides:
         opts = dataclasses.replace(opts, exact_median=True)
-    use_pallas = True if args.parity else None
+    use_pallas = args.backend or (True if args.parity else None)
     gray_mode = "host64" if args.parity else "device"
     opts.validate()
     if left.shape != right.shape:

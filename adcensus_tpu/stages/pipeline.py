@@ -182,6 +182,35 @@ def match_batched_device(
     return jax.lax.map(one, (lefts, rights))
 
 
+@partial(jax.jit, static_argnames=("opts_seq", "use_pallas"))
+def match_hetero_device(
+    pairs: tuple,
+    opts_seq: tuple,
+    use_pallas: bool | None = None,
+) -> tuple:
+    """Heterogeneous batch: pairs of DIFFERENT shapes and disparity
+    ranges matched in ONE dispatch (e.g. Wood2 653x555 D=128 together
+    with Cone 450x375 D=64 — BASELINE config 3's mixed stream).
+
+    ``pairs`` is a tuple of (left, right) uint8 (H_i, W_i, 3) arrays;
+    ``opts_seq`` the matching per-pair static options. Each pair runs
+    its full pipeline at its native shape inside a single XLA
+    executable — no pad-to-max, no masking: the outputs are the same
+    programs as per-pair ``match_device`` calls, fused into one
+    dispatch so a mixed serving stream pays one host round-trip.
+    (The reference handles exactly one pair per process,
+    main.cpp:34-145; same-shape streams use ``match_batched_device``.)
+    """
+    outs = []
+    for (l, r), o in zip(pairs, opts_seq):
+        gl = cost_stage.compute_gray(l)
+        gr = cost_stage.compute_gray(r)
+        outs.append(
+            match_core(l, r, gl, gr, o, use_pallas=use_pallas)["disparity"]
+        )
+    return tuple(outs)
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def match_batched(
     lefts: jnp.ndarray,

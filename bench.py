@@ -11,7 +11,8 @@ measurement lands — the driver parses the LAST line, so an upgraded line
 simply replaces the earlier one, and a timeout mid-run still leaves a
 parseable result on stdout.  Progress goes to stderr so a hung tunnel is
 diagnosable.  Programs after the first are skipped once the self-imposed
-wall budget (ADC_BENCH_BUDGET_S, default 300 s) is exhausted.
+wall budget (ADC_BENCH_BUDGET_S, default 420 s) is exhausted; skipped
+programs are listed in the emitted line's extra.programs_skipped.
 
 vs_baseline compares against the measured single-thread CPU reference
 baseline stored in BASELINE_MEASURED.json (produced by
@@ -28,7 +29,9 @@ import time
 import numpy as np
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("ADC_BENCH_BUDGET_S", "300"))
+# the driver demonstrably tolerates >347 s (round-3 run, rc=0); 420 s
+# leaves room for the batched program's compile instead of skipping it
+BUDGET_S = float(os.environ.get("ADC_BENCH_BUDGET_S", "420"))
 
 
 def log(msg: str) -> None:
@@ -100,7 +103,7 @@ def main() -> None:
         with open(baseline_path) as f:
             cpu_mpixd = json.load(f).get("cone_mpixd_per_s")
 
-    state = {"best": None, "extra": {}}
+    state = {"best": None, "extra": {}, "skipped": set()}
 
     def emit(timings: dict) -> None:
         """Print one full JSON result line using the best timing so far.
@@ -121,6 +124,10 @@ def main() -> None:
         }
         if "piano256_mpixd_s" in state["extra"]:
             extra["piano256_mpixd_s"] = state["extra"]["piano256_mpixd_s"]
+        if state["skipped"]:
+            # partial coverage is self-describing: which programs never
+            # ran (budget exhaustion or failure) is on the line itself
+            extra["programs_skipped"] = sorted(state["skipped"])
         extra.update({k: round(v, 4) for k, v in timings.items()})
         line = json.dumps(
             {
@@ -146,6 +153,7 @@ def main() -> None:
         el = time.perf_counter() - T_START
         if el > BUDGET_S:
             log(f"skip {label}: wall budget exhausted ({el:.0f}s > {BUDGET_S:.0f}s)")
+            state["skipped"].add(label)
             return False
         return True
 
@@ -185,7 +193,7 @@ def main() -> None:
     # N matches inside ONE jitted fori_loop (an optimization_barrier
     # re-ties the inputs each iteration so XLA cannot hoist the
     # loop-invariant match out); removes per-dispatch RPC entirely.
-    if within_budget("program 2 (amortized loop)"):
+    if within_budget("amortized"):
         log("program 2/4: amortized fori-loop match (compiling)...")
         N = 20
 
@@ -207,15 +215,36 @@ def main() -> None:
         timings["device_amortized_s"] = (time.perf_counter() - t0) / N
         emit(timings)
 
+    # ---- Program 3: batched B=8 (BASELINE config 3's serving shape) ----
+    # B pairs per dispatch. Runs BEFORE Piano256: in rounds 2-3 this
+    # program was skipped on budget in every driver run, so the batched
+    # number had no driver-visible evidence — it now gets the earlier
+    # slot (its compile also reuses program 1/2's cached pipeline trace
+    # shapes more often than Piano256's D=256 program does).
+    if within_budget("batched"):
+        log("program 3/4: batched B=8 match (compiling)...")
+        B = 8
+        lefts = jax.device_put(jnp.broadcast_to(left_d, (B,) + left_d.shape))
+        rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
+        batch_np = np.asarray(
+            pipeline.match_batched_device(lefts, rights, opts)
+        )  # warm-up
+        assert _same(batch_np[0], disp_np)
+        log("program 3/4: compiled; measuring")
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_b = pipeline.match_batched_device(lefts, rights, opts)
+        np.asarray(out_b)
+        timings["batched_s_per_pair"] = (time.perf_counter() - t0) / (reps * B)
+        emit(timings)
+
     # ---- Program 4 (separate pair, biggest volume): Piano256 ----
-    # BASELINE config 4 (memory-stress: 707x481, D=256). Runs BEFORE the
-    # batched program when budget remains after program 2; its result
+    # BASELINE config 4 (memory-stress: 707x481, D=256). Its result
     # rides in the `extra` dict of the re-emitted cone line, so the
     # driver-parsed tail line keeps the cone_throughput contract while
     # recording the memory-stress number.
-    if within_budget("program 4 (Piano256)"):
-        import dataclasses as _dc
-
+    if within_budget("piano256"):
         log("program 4/4: Piano256 single-stream (compiling)...")
         try:
             p_pair = get_pair("Piano")
@@ -240,26 +269,8 @@ def main() -> None:
         except Exception as e:  # HBM pressure must not kill the cone line
             log(f"program 4 failed (non-fatal): {type(e).__name__}: {e}")
 
-    # ---- Program 3 (most expensive compile): batched B=8 ----
-    # B pairs per dispatch — the serving configuration.
-    if within_budget("program 3 (batched)"):
-        log("program 3/4: batched B=8 match (compiling)...")
-        B = 8
-        lefts = jax.device_put(jnp.broadcast_to(left_d, (B,) + left_d.shape))
-        rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
-        batch_np = np.asarray(
-            pipeline.match_batched_device(lefts, rights, opts)
-        )  # warm-up
-        assert _same(batch_np[0], disp_np)
-        log("program 3/4: compiled; measuring")
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out_b = pipeline.match_batched_device(lefts, rights, opts)
-        np.asarray(out_b)
-        timings["batched_s_per_pair"] = (time.perf_counter() - t0) / (reps * B)
-        emit(timings)
-
+    if state["skipped"]:
+        emit(timings)  # refresh the tail line with programs_skipped
     log("done")
 
 

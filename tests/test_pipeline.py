@@ -87,6 +87,33 @@ def test_match_rejects_bad_inputs(small_pair, small_opts):
                                            max_disparity=8))
 
 
+def test_hetero_batch_matches_per_pair(small_pair):
+    """match_hetero_device: two pairs of DIFFERENT shapes and disparity
+    ranges in one jitted dispatch (BASELINE config 3's mixed Wood2+Cone
+    stream, scaled down) — each output equals its own single-pair
+    dispatch."""
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.stages.pipeline import match_device, match_hetero_device
+
+    left, right = small_pair
+    a = (jnp.asarray(left), jnp.asarray(right))
+    b = (
+        jnp.asarray(np.ascontiguousarray(left[:28, :44])),
+        jnp.asarray(np.ascontiguousarray(right[:28, :44])),
+    )
+    opts_a = ADCensusOptions(min_disparity=0, max_disparity=16)
+    opts_b = ADCensusOptions(min_disparity=0, max_disparity=8)
+    out_a, out_b = match_hetero_device((a, b), (opts_a, opts_b))
+    for out, (l, r), o in ((out_a, a, opts_a), (out_b, b, opts_b)):
+        ref = np.asarray(match_device(l, r, o))
+        got = np.asarray(out)
+        assert got.shape == ref.shape
+        assert np.array_equal(np.isfinite(got), np.isfinite(ref))
+        m = np.isfinite(ref)
+        # same program per pair; tolerate fusion-order float wiggle
+        assert np.abs(got[m] - ref[m]).max() <= 1e-3
+
+
 @pytest.mark.parametrize("dmin,dmax", [(2, 14), (-4, 8)])
 def test_nonzero_min_disparity_matches_oracle(small_pair, dmin, dmax):
     """min_disparity != 0 (including negative, for verged rigs) exercises

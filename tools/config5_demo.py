@@ -219,6 +219,14 @@ def main() -> None:
         }
         _checkpoint()
         print(json.dumps({f"compile_n{n}": compile_rows[n]}), flush=True)
+    if not ns and not compile_rows:
+        # --ns none with no prior rows: make the skip self-describing
+        # (an empty dict is indistinguishable from a failed run)
+        compile_rows["skipped"] = (
+            "--ns none: full-res compile checks deferred to a separate "
+            "--ns 2,8 --skip-stream invocation (>1.5 h/config on this "
+            "one-core box); this pass produced the other three sections"
+        )
     out["fullres_compile_check"] = compile_rows
 
     if "--skip-stream" in sys.argv:

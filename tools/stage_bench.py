@@ -58,6 +58,11 @@ def main() -> None:
         i = argv.index("--stages")
         only = {s.strip() for s in argv[i + 1].split(",")}
         argv = argv[:i] + argv[i + 2 :]
+    json_path = None  # --json PATH: per-stage ms for tools/roofline.py
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     pair_name = argv[0] if argv else "Cone"
     iters = int(argv[1]) if len(argv) > 1 else 50
     # label overrides matching tools/parity_report.py's configs
@@ -206,6 +211,7 @@ def main() -> None:
     rpc = time.perf_counter() - t0
 
     total = 0.0
+    results = {}
     print(f"{pair_name} {w}x{h} D={opts.disp_range}  iters={iters}  "
           f"(rpc floor ~{rpc * 1e3:.0f} ms)")
     for name, (fn, args) in stages.items():
@@ -218,10 +224,32 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / iters
         if not name.startswith(" "):  # detail rows don't re-count
             total += dt
+        results[name.strip()] = dt * 1e3
         print(f"{name:>10}: {dt * 1e3:8.2f} ms   "
               f"{work / dt / 1e6:9.1f} Mpix*disp/s")
     print(f"{'sum':>10}: {total * 1e3:8.2f} ms   "
           f"{work / total / 1e6:9.1f} Mpix*disp/s")
+    if json_path:
+        import json
+
+        payload = {
+            "pair": pair_name, "h": h, "w": w,
+            "d": opts.disp_range, "iters": iters,
+            "stage_ms": results, "sum_ms": total * 1e3,
+        }
+        prev = {}
+        if os.path.exists(json_path):
+            try:
+                prev = json.load(open(json_path))
+            except Exception:
+                prev = {}
+            # merge per-stage rows measured across invocations
+            old = prev.get(pair_name, {}).get("stage_ms", {})
+            old.update(payload["stage_ms"])
+            payload["stage_ms"] = old
+        prev[pair_name] = payload
+        json.dump(prev, open(json_path, "w"), indent=1)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
