@@ -33,10 +33,30 @@ Classes (per disagreeing pixel p):
   boundary    tail_ctf[p] within 0.5 of BOTH ours and ref (|ours-ref|
               barely over the 0.5 threshold); sub-threshold float
               ambiguity, not a semantic deviation.
+  compound    tail_ctf[p] != ref[p] AND tail_ctf[p] != ours[p]: both
+              causes are demonstrably active at p — the value depends on
+              the upstream WTA delta (our tail on ref's input lands
+              elsewhere than our tail on ours) AND on the fill order
+              (our dense tail on ref's own input lands elsewhere than
+              ref's sequential tail).  Counted as explained ONLY when
+              the sequential-replay check below proves the voting logic
+              itself faithful; otherwise these pixels stay `other`.
   other       none of the above: true unexplained residue.
+
+Sequential-replay check (--seq-replay, round-4 VERDICT #7): replays the
+reference's OWN fill order — LR lists built in raster order, then 5x2
+voting phases filling pixels one at a time in list order with pruning —
+on the reference's own after-LR state, using our histogram/threshold
+semantics (bincount over the horizontal-first cross region, first-max
+argmax, ts/th gates).  `seq_vote_replay_exact: true` means that replay
+reproduces the reference's after_vote map BITWISE, proving our voting
+logic deviates from the reference in fill order ONLY — which is what
+licenses classifying the two-sided residue as `compound` rather than
+`other`.
 
 Usage:
   python tools/parity_attribution.py [--pairs Cone Wood2 ...] [--crop N]
+      [--seq-replay]
 
 Writes PARITY_ATTRIBUTION.json and prints a markdown table (merged into
 PARITY.md by tools/parity_report.py --attribution or by hand).
@@ -104,7 +124,80 @@ def _oracle_stage_dumps(name, pair, workdir):
     }
 
 
-def attribute_pair(label, name, dmin, dmax, crop=None):
+def _lround_np(v: np.ndarray) -> np.ndarray:
+    """Vectorized C lround (half away from zero), matching the oracle's
+    scalar lround and adcensus_util's rounding."""
+    return np.where(
+        v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+    ).astype(np.int64)
+
+
+def _sequential_vote_replay(ref: dict, arms: np.ndarray, opts) -> dict:
+    """Replay the reference's sequential fill order with OUR voting
+    semantics, on the reference's own state (module docstring,
+    "Sequential-replay check").
+
+    Builds the raster-order occlusion/mismatch lists with the NumPy
+    oracle's LR check (bitwise vs the reference, tested), then runs the
+    5x2 voting phases filling one pixel at a time in list order with
+    pruning (multistep_refiner.cpp:169-225) — the histogram per pixel is
+    np.bincount over the horizontal-first cross region instead of the
+    oracle's scalar loops (identical semantics, ~30x faster; the bitwise
+    comparison against the reference's own after_vote dump certifies the
+    replay, so any subtle re-statement error shows up as inexact rather
+    than as a silently wrong conclusion).
+    """
+    from adcensus_tpu.oracle import numpy_ref as oref
+
+    lr_map, occl, mism = oref.outlier_detection(
+        ref["wta_l"], ref["wta_r"], opts
+    )
+    lr_exact = bool(np.array_equal(lr_map, ref["after_lr"]))
+    disp = lr_map.copy()
+    dr = opts.disp_range
+    for _ in range(5):
+        for trg in (mism, occl):
+            for (x, y) in trg:
+                if np.isfinite(disp[y, x]):
+                    continue
+                at, ab = int(arms[y, x, 2]), int(arms[y, x, 3])
+                rows = [
+                    disp[yt, x - int(arms[yt, x, 0]):
+                         x + int(arms[yt, x, 1]) + 1]
+                    for yt in range(y - at, y + ab + 1)
+                ]
+                vals = np.concatenate(rows)
+                vals = vals[np.isfinite(vals)]
+                if vals.size == 0:
+                    continue
+                idx = _lround_np(vals) - opts.min_disparity
+                assert idx.min() >= 0 and idx.max() < dr, (
+                    "replay histogram index out of range — the oracle "
+                    "would have crashed here too; investigate"
+                )
+                hist = np.bincount(idx, minlength=dr)
+                best = int(np.argmax(hist))  # first max, like the oracle
+                max_ht = int(hist[best])
+                count = int(vals.size)
+                if (
+                    max_ht > 0
+                    and count > opts.irv_ts
+                    and max_ht / count > opts.irv_th
+                ):
+                    disp[y, x] = np.float32(best + opts.min_disparity)
+            trg[:] = [
+                (x, y) for (x, y) in trg if not np.isfinite(disp[y, x])
+            ]
+    vote_exact = bool(np.array_equal(disp, ref["after_vote"]))
+    n_diff = int(np.sum(disp != ref["after_vote"]))
+    return {
+        "seq_lr_replay_exact": lr_exact,
+        "seq_vote_replay_exact": vote_exact,
+        "seq_vote_n_diff": n_diff,
+    }
+
+
+def attribute_pair(label, name, dmin, dmax, crop=None, seq_replay=False):
     import dataclasses
 
     import jax
@@ -209,7 +302,20 @@ def attribute_pair(label, name, dmin, dmax, crop=None):
     boundary = rem & t_ref & t_ours
     upstream = rem & t_ref & ~t_ours
     vote = rem & t_ours & ~t_ref
-    other = rem & ~t_ref & ~t_ours
+    two_sided = rem & ~t_ref & ~t_ours
+
+    # two-sided residue: upstream AND fill-order are both active at
+    # these pixels; counted as the explained `compound` class only when
+    # the sequential replay proves the voting logic itself faithful
+    seq = (
+        _sequential_vote_replay(ref, np.asarray(ours["arms"]), opts)
+        if seq_replay
+        else None
+    )
+    if seq is not None and seq["seq_vote_replay_exact"]:
+        compound, other = two_sided, np.zeros_like(two_sided)
+    else:
+        compound, other = np.zeros_like(two_sided), two_sided
 
     # first-divergence stage of our actual chain (supporting evidence)
     stages = [
@@ -240,10 +346,13 @@ def attribute_pair(label, name, dmin, dmax, crop=None):
             "vote_order": int(vote.sum()),
             "interp_med": int(interp_med.sum()),
             "boundary": int(boundary.sum()),
+            "compound": int(compound.sum()),
             "other": int(other.sum()),
         },
         "first_divergence": first_div,
     }
+    if seq is not None:
+        res.update(seq)
     expl = n - int(other.sum())
     res["explained_pct"] = round(100.0 * expl / max(n, 1), 2)
     return res
@@ -257,6 +366,10 @@ def main():
                     help="config labels (default: all five)")
     ap.add_argument("--crop", type=int, default=None,
                     help="run on a top-left NxN crop (smoke test)")
+    ap.add_argument("--seq-replay", action="store_true",
+                    help="also run the sequential fill-order replay "
+                    "(proves voting-logic faithfulness; reclassifies "
+                    "two-sided residue as `compound`)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -275,7 +388,8 @@ def main():
         if args.pairs and label not in args.pairs:
             continue
         print(f"[attribution] {label} ...", file=sys.stderr, flush=True)
-        res = attribute_pair(label, name, dmin, dmax, crop=args.crop)
+        res = attribute_pair(label, name, dmin, dmax, crop=args.crop,
+                             seq_replay=args.seq_replay)
         print(json.dumps(res), flush=True)
         out.append(res)
 
@@ -296,14 +410,15 @@ def main():
 
     # markdown table
     print("\n| config | disagree px | agree | upstream | vote_order |"
-          " interp_med | boundary | other | explained |")
-    print("|---|---|---|---|---|---|---|---|---|")
+          " interp_med | boundary | compound | other | explained |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in out:
         c = r["classes"]
         print(
             f"| {r['pair']} | {r['n_disagree']} | {r['agreement']:.4f} |"
             f" {c['upstream']} | {c['vote_order']} | {c['interp_med']} |"
-            f" {c['boundary']} | {c['other']} | {r['explained_pct']}% |"
+            f" {c['boundary']} | {c.get('compound', 0)} | {c['other']} |"
+            f" {r['explained_pct']}% |"
         )
 
 
