@@ -195,22 +195,31 @@ def main() -> None:
             "deliberate semantic deviation; `interp_med` = "
             "interpolation/median deviations on identical input "
             "(zero everywhere = both stages are exact re-statements); "
+            "`compound` = pixels where upstream AND fill-order effects "
+            "are both demonstrably active — explained because the "
+            "sequential fill-order replay (`--seq-replay`) reproduces "
+            "the reference's after-vote map BITWISE (`seq_exact`), "
+            "proving the voting logic deviates in fill order only; "
             "`other` = unexplained residue. `lr_exact` marks the LR "
             "check reproducing the reference bitwise on its own WTA "
             "maps.",
             "",
             "| config | disagree px | agree | upstream | vote_order | "
-            "interp_med | boundary | other | explained | lr_exact |",
-            "|---|---|---|---|---|---|---|---|---|---|",
+            "interp_med | boundary | compound | other | explained | "
+            "lr_exact | seq_exact |",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|",
         ]
         for r in attr:
             c = r["classes"]
+            seq = r.get("seq_vote_replay_exact")
             lines.append(
                 f"| {r['pair']} | {r['n_disagree']} | "
                 f"{r['agreement']:.4f} | {c['upstream']} | "
                 f"{c['vote_order']} | {c['interp_med']} | "
-                f"{c['boundary']} | {c['other']} | "
-                f"{r['explained_pct']}% | {r['lr_replay_exact']} |"
+                f"{c['boundary']} | {c.get('compound', 0)} | "
+                f"{c['other']} | {r['explained_pct']}% | "
+                f"{r['lr_replay_exact']} | "
+                f"{'—' if seq is None else seq} |"
             )
         lines.append("")
     with open(os.path.join(ROOT, "PARITY.md"), "w") as f:
