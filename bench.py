@@ -228,14 +228,33 @@ def main() -> None:
         rights = jax.device_put(jnp.broadcast_to(right_d, (B,) + right_d.shape))
         batch_np = np.asarray(
             pipeline.match_batched_device(lefts, rights, opts)
-        )  # warm-up
+        )  # warm-up + equality check
         assert _same(batch_np[0], disp_np)
-        log("program 3/4: compiled; measuring")
+
+        # Device-amortize exactly like program 2: reps batched matches
+        # inside ONE jitted fori_loop, so the ~100 ms tunnel RTT is paid
+        # once per measurement instead of once per dispatch (round-4's
+        # 3-dispatch loop read 24.3 ms/pair — ~2x pure device time —
+        # because each un-amortized dispatch carried the RPC overhead).
         reps = 3
+
+        @jax.jit
+        def run_batched(l, r):
+            def body(_, carry):
+                acc, lr = carry
+                lb, rb = jax.lax.optimization_barrier(lr)
+                d = pipeline.match_batched_device(lb, rb, opts)
+                return acc + d.ravel()[0], lr
+
+            acc, _ = jax.lax.fori_loop(
+                0, reps, body, (jnp.float32(0.0), (l, r))
+            )
+            return acc
+
+        np.asarray(run_batched(lefts, rights))  # compile + warm
+        log("program 3/4: compiled; measuring")
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out_b = pipeline.match_batched_device(lefts, rights, opts)
-        np.asarray(out_b)
+        np.asarray(run_batched(lefts, rights))
         timings["batched_s_per_pair"] = (time.perf_counter() - t0) / (reps * B)
         emit(timings)
 

@@ -180,6 +180,9 @@ def main() -> None:
             compile_rows.update(
                 prev.get("fullres_compile_check", {})
             )
+            if ns:
+                # a real compile pass supersedes a recorded deferral
+                compile_rows.pop("skipped", None)
         except Exception:
             pass
     def _checkpoint():
