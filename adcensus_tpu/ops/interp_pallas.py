@@ -9,13 +9,16 @@ distance for mismatches, minimum disparity for occlusions —
 multistep_refiner.cpp:276-296) is reduced directly into the output block.
 
 The per-step cost is VPU-bound (each dynamic-offset load is an aligned
-block load + two lane/sublane rotates), and real maps always contain a
-few targets deep inside invalid regions that need the full-step march
-(measured: every ray's p100 is 50-63 steps on Cone, so any early-exit
-scheme runs the full loop anyway while paying its bookkeeping). The
-kernel therefore runs a straight ``fori_loop`` with register-carried
-state — Mosaic pipelines it well — and halves the dominant load count
-instead: the 3 uint8 color channels travel as ONE int32 plane
+block load + two lane/sublane rotates). The march is a chunked
+``while_loop``: 16 steps per chunk, then one liveness reduction ("any
+target pixel not yet hit whose ray is still in-image?"). Real maps hit
+within a few dozen steps while n_steps is max_disparity-1, so
+high-disparity configs stop after 3-5 chunks instead of marching all
+255 (Piano D=256: 36.7 ms -> see BENCH_DETAIL.md); low-D configs run
+essentially the full range either way (every ray's p100 is 50-63 steps
+of 63 on Cone) and pay only one cheap reduction per 16 steps. The
+kernel halves the dominant load count too: the 3 uint8 color channels
+travel as ONE int32 plane
 (r | g<<8 | b<<16), unpacked with shifts after the rotate, so a
 mismatch step is 2 dynamic-offset loads instead of 4. ``target``
 marks the pixels whose fills are actually read (the caller writes
@@ -98,7 +101,9 @@ def _ray_interp_kernel(
         )  # image row of each output pixel
         jj = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
 
-    def body(j, carry):
+    tgt = tgt_ref[...] > 0.0
+
+    def step(j, carry):
         # "found" is implicit: key stays exactly BIG until the first
         # take (dist <= 765 and disparities << BIG), so key >= BIG is
         # the not-yet-hit mask — one carry plane and one update per
@@ -131,11 +136,55 @@ def _ray_interp_kernel(
             key = jnp.where(take, cand, key)
         return val, key
 
+    # Chunked early-exit march: K steps per chunk, then one liveness
+    # check — "does any TARGET pixel still lack a hit on a ray that is
+    # still inside the image?". Real maps hit within a few dozen steps
+    # while n_steps is max_disparity-1 (255 for D=256 configs), so the
+    # march usually stops after 3-5 chunks; a straight fori_loop paid
+    # the full 255 regardless (round-4 BENCH_DETAIL: Piano256 interp
+    # 36.7 ms). Re-running a step is idempotent (take needs key >= BIG),
+    # so the final chunk clamps its step index instead of shortening.
+    # Liveness is structural too: once a straight ray leaves the image
+    # it never re-enters (NaN moat / coordinate rectangle), so a pixel
+    # whose ray has exited can never hit and must not keep the loop
+    # alive.
+    K = 16
+
+    def chunk_cond(carry):
+        j, _, _, live = carry
+        return (j < n_steps) & live
+
+    def chunk_body(carry):
+        j, val, key, _ = carry
+        val, key = jax.lax.fori_loop(
+            0,
+            K,
+            lambda k, c: step(jnp.minimum(j + k, n_steps - 1), c),
+            (val, key),
+        )
+        last = jnp.minimum(j + K - 1, n_steps - 1)
+        dy = offs_ref[0, last, 0]
+        dx = offs_ref[0, last, 1]
+        if bounds is not None:
+            still_in = (
+                (ii + dy >= 0)
+                & (ii + dy < h_img)
+                & (jj + dx >= 0)
+                & (jj + dx < w_img)
+            )
+        else:
+            still_in = ~jnp.isnan(shifted(disp_ref, dy, dx))
+        live_px = tgt & (key >= BIG) & still_in
+        live = jnp.max(live_px.astype(jnp.int32)) > 0
+        return j + K, val, key, live
+
     init = (
+        jnp.int32(0),
         jnp.zeros((r, w), jnp.float32),
         jnp.full((r, w), BIG, jnp.float32),
+        jnp.max(tgt.astype(jnp.int32)) > 0,
     )
-    val, key = jax.lax.fori_loop(0, n_steps, body, init)
+    _, val, key, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
     if not is_mismatch:
         val = key  # occlusion: selection key == candidate disparity
     found = (key < BIG) & (tgt_ref[...] > 0.0)

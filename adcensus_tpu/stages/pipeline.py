@@ -155,31 +155,68 @@ def match(
     return {k: np.asarray(v) for k, v in res.items()}
 
 
-@partial(jax.jit, static_argnames=("opts", "use_pallas"))
+def _batch_group_size(b: int, h: int, w: int, opts: ADCensusOptions) -> int:
+    """Largest divisor of ``b`` whose statically-unrolled group fits the
+    HBM working-set budget. ~6x the (D, H, W) f32 volume per in-flight
+    pair bounds the measured peak (XLA's scheduler kept B=8 Cone at
+    5.2x volume/pair; 6x adds margin), against a 10 GB budget on the
+    16 GB v5e."""
+    per_pair = 6 * opts.disp_range * h * w * 4
+    g = max(1, min(b, int(10 * 1024**3 // max(per_pair, 1))))
+    while b % g:
+        g -= 1
+    return g
+
+
+@partial(jax.jit, static_argnames=("opts", "use_pallas", "group"))
 def match_batched_device(
     lefts: jnp.ndarray,
     rights: jnp.ndarray,
     opts: ADCensusOptions,
     use_pallas: bool | None = None,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Batched single-dispatch pipeline: (B, H, W, 3) uint8 stacks ->
     (B, H, W) disparities, gray conversion on device.
 
-    Pairs run sequentially inside one dispatch (``lax.map``), which
-    amortizes host dispatch latency while keeping volume memory at 1x.
-    (One pair already saturates the chip, and vmap-of-pallas miscompiled
-    at B=8 on TPU — observed 42-disparity errors — so the batch axis is
-    deliberately a loop, not a vector axis.)"""
+    Groups of ``group`` pairs are STATICALLY unrolled inside the
+    program (independent subgraphs: XLA's scheduler overlaps one pair's
+    latency-bound stages — scanline DP, the interp ray march, the
+    median wavefront — and async HBM copies with another pair's dense
+    compute). Measured on Cone B=8 (TPU v5e): 5.9 ms/pair unrolled vs
+    11.8 ms/pair for any loop whose iteration dynamically slices the
+    stacked inputs — a loop-varying dynamic-slice of the batch costs
+    ~3.8 ms/pair by itself (static or constant-foldable indices don't;
+    isolated by A/B: carried-pair 11.76, static-index 11.70,
+    dyn-index-B=1 11.71, dyn-index-B=8 15.54 ms/pair). Groups beyond
+    the HBM budget run under ``lax.map``, which pays that slice cost
+    once per group. ``group=None`` picks the largest in-budget divisor
+    of B (the whole batch when it fits). The batch axis is never a
+    vector axis: one pair saturates the chip, and vmap-of-pallas
+    miscompiled at B=8 on TPU (observed 42-disparity errors).
 
-    def one(pair):
-        l, r = pair
-        gl = cost_stage.compute_gray(l)
-        gr = cost_stage.compute_gray(r)
-        return match_core(l, r, gl, gr, opts, use_pallas=use_pallas)[
-            "disparity"
-        ]
+    Compile cost scales with ``group`` (~8x one pair's at group=8);
+    the persistent compile cache absorbs it after the first run."""
+    b, h, w = lefts.shape[0], lefts.shape[1], lefts.shape[2]
+    g = _batch_group_size(b, h, w, opts) if group is None else group
 
-    return jax.lax.map(one, (lefts, rights))
+    def run_group(ls, rs):
+        outs = []
+        for i in range(g):
+            gl = cost_stage.compute_gray(ls[i])
+            gr = cost_stage.compute_gray(rs[i])
+            outs.append(
+                match_core(ls[i], rs[i], gl, gr, opts,
+                           use_pallas=use_pallas)["disparity"]
+            )
+        return jnp.stack(outs)
+
+    if g >= b:
+        return run_group(lefts, rights)
+    lg = lefts.reshape((b // g, g) + lefts.shape[1:])
+    rg = rights.reshape((b // g, g) + rights.shape[1:])
+    out = jax.lax.map(lambda p: run_group(p[0], p[1]), (lg, rg))
+    return out.reshape((b,) + out.shape[2:])
 
 
 @partial(jax.jit, static_argnames=("opts_seq", "use_pallas"))
@@ -220,11 +257,28 @@ def match_batched(
     opts: ADCensusOptions,
 ) -> jnp.ndarray:
     """Batched pipeline over (B, H, W, 3) stacks -> (B, H, W) disparities
-    (precomputed grays; see match_batched_device for why the batch axis
-    is a lax.map loop rather than vmap)."""
+    (precomputed grays; grouping identical to match_batched_device —
+    static unroll within the HBM budget, lax.map over groups)."""
+    b, h, w = lefts.shape[0], lefts.shape[1], lefts.shape[2]
+    g = _batch_group_size(b, h, w, opts)
 
-    def one(args):
-        l, r, gl, gr = args
-        return match_core(l, r, gl, gr, opts)["disparity"]
+    def run_group(ls, rs, gls, grs):
+        return jnp.stack(
+            [
+                match_core(ls[i], rs[i], gls[i], grs[i], opts)["disparity"]
+                for i in range(g)
+            ]
+        )
 
-    return jax.lax.map(one, (lefts, rights, grays_l, grays_r))
+    if g >= b:
+        return run_group(lefts, rights, grays_l, grays_r)
+
+    def regroup(a):
+        return a.reshape((b // g, g) + a.shape[1:])
+
+    out = jax.lax.map(
+        lambda p: run_group(*p),
+        (regroup(lefts), regroup(rights), regroup(grays_l),
+         regroup(grays_r)),
+    )
+    return out.reshape((b,) + out.shape[2:])

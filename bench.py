@@ -244,7 +244,11 @@ def main() -> None:
                 acc, lr = carry
                 lb, rb = jax.lax.optimization_barrier(lr)
                 d = pipeline.match_batched_device(lb, rb, opts)
-                return acc + d.ravel()[0], lr
+                # force ONE element of EVERY pair's output: d[0,0,0]
+                # alone lets XLA dead-code-eliminate the other B-1
+                # statically-unrolled pipelines (measured: 3.0 "ms/pair"
+                # vs the real 5.9)
+                return acc + jnp.sum(d[:, 0, 0]), lr
 
             acc, _ = jax.lax.fori_loop(
                 0, reps, body, (jnp.float32(0.0), (l, r))

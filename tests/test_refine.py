@@ -371,3 +371,72 @@ def test_ray_interp_target_seeding(small_pair, small_opts, oracle_result):
                 )
             )
             np.testing.assert_array_equal(out[t], full[t])
+
+
+def test_ray_interp_early_exit_chunks(monkeypatch):
+    """The kernel's chunked early-exit march (K=16 steps per chunk,
+    liveness = "target not hit AND its ray still in-image") is bitwise
+    equal to the XLA path across its exit modes: a D=48 range (3
+    chunks) with (a) all targets hitting in step 1 (exit after chunk
+    1), (b) a lone target deep in an invalid region (multi-chunk
+    march), (c) a border target whose rays exit the image (structural
+    liveness must terminate despite no hit), and (d) no targets at all
+    (the loop must not run). Both VMEM strategies are exercised."""
+    import jax.numpy as jnp
+
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.ops import interp_pallas
+
+    rng = np.random.default_rng(7)
+    h, w = 40, 64
+    opts = ADCensusOptions(min_disparity=0, max_disparity=48)
+    left = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    base = rng.uniform(0.0, 47.0, (h, w)).astype(np.float32)
+
+    def run_case(disp_np, target_np, coord_mode):
+        disp = jnp.asarray(disp_np)
+        target = jnp.asarray(target_np)
+        if coord_mode:
+            monkeypatch.setattr(
+                interp_pallas, "ray_interp_fits_vmem", lambda *a: False
+            )
+        for is_mismatch in (True, False):
+            ref = np.asarray(
+                refine_stage.interpolation_fills(
+                    disp, jnp.asarray(left), opts, is_mismatch,
+                    use_pallas=False, target=target,
+                )
+            )
+            out = np.asarray(
+                refine_stage.interpolation_fills(
+                    disp, jnp.asarray(left), opts, is_mismatch,
+                    use_pallas=True, target=target,
+                )
+            )
+            t = np.asarray(target)
+            np.testing.assert_array_equal(out[t], ref[t])
+        monkeypatch.undo()
+
+    inf = np.float32(np.inf)
+    for coord_mode in (False, True):
+        # (a) every target is adjacent to valid pixels: all hit step 1
+        d_a = base.copy()
+        d_a[10:14, 20:24] = inf
+        run_case(d_a, ~np.isfinite(d_a), coord_mode)
+        # (b) lone target centered in a large invalid disc: the march
+        # needs several chunks to reach the valid rim
+        d_b = base.copy()
+        d_b[2:38, 12:52] = inf
+        tgt_b = np.zeros((h, w), bool)
+        tgt_b[20, 32] = True
+        run_case(d_b, tgt_b, coord_mode)
+        # (c) corner target, everything invalid: every ray exits the
+        # image without a hit — liveness must still terminate (a hang
+        # here would be a kernel bug; equality checks the 0.0 fills)
+        d_c = np.full((h, w), inf, np.float32)
+        tgt_c = np.zeros((h, w), bool)
+        tgt_c[0, 0] = True
+        run_case(d_c, tgt_c, coord_mode)
+        # (d) no targets at all: the loop must not run
+        run_case(base.copy(), np.zeros((h, w), bool), coord_mode)
