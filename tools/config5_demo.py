@@ -139,9 +139,22 @@ def main() -> None:
     out: dict = {"memory_math": memory_math()}
     print(json.dumps(out["memory_math"]), flush=True)
 
+    # --scale S: synthesize at (FULL_H//S, FULL_W//S) keeping D=256 —
+    # compile-scaling evidence when the full-res XLA *CPU* compile
+    # exceeds host RAM (measured: n=2 OOM-killed at 130 GB RSS, n=8 at
+    # 125 GB, n=8 with constant folding disabled bad_alloc at a 110 GB
+    # cap — the compiler's host memory, not the program: lower()
+    # succeeds at full shape for both n). Scaled rows are keyed
+    # "n@HxW" so full-res rows stay canonical.
+    scale = 1
+    if "--scale" in sys.argv:
+        scale = int(sys.argv[sys.argv.index("--scale") + 1])
+
     # ---- 2. full-res synthesis + PFM ingestion round-trip -------------
     t0 = time.perf_counter()
-    left, right, gt = synthesize_fullres()
+    left, right, gt = synthesize_fullres(
+        h=FULL_H // scale, w=FULL_W // scale
+    )
     pfm_path = os.path.join(ROOT, ".oracle", "config5_gt.pfm")
     os.makedirs(os.path.dirname(pfm_path), exist_ok=True)
     save_pfm(gt, pfm_path)
@@ -149,12 +162,15 @@ def main() -> None:
     assert gt_rt.shape == gt.shape and np.array_equal(gt_rt, gt), (
         "PFM round-trip mismatch"
     )
-    out["fullres_synthesis"] = {
+    syn_key = (
+        "fullres_synthesis" if scale == 1 else f"synthesis_scale{scale}"
+    )
+    out[syn_key] = {
         "shape": list(left.shape),
         "pfm_roundtrip_exact": True,
         "seconds": round(time.perf_counter() - t0, 1),
     }
-    print(json.dumps(out["fullres_synthesis"]), flush=True)
+    print(json.dumps(out[syn_key]), flush=True)
 
     opts = ADCensusOptions(min_disparity=0, max_disparity=FULL_D)
     devs = np.array(jax.devices()[:8])
@@ -174,6 +190,7 @@ def main() -> None:
         # the >1.5 h one-core compiles run in a separate invocation)
         ns = () if arg == "none" else tuple(int(x) for x in arg.split(","))
     prev_path = os.path.join(ROOT, "CONFIG5.json")
+    prev = {}
     if os.path.exists(prev_path):
         try:
             prev = json.load(open(prev_path))
@@ -183,13 +200,20 @@ def main() -> None:
             if ns:
                 # a real compile pass supersedes a recorded deferral
                 compile_rows.pop("skipped", None)
+            # keep every other recorded section (full-res synthesis,
+            # prior-scale synthesis rows, compile_attempt notes)
+            for k, v in prev.items():
+                if k not in ("fullres_compile_check", "batched_stream"):
+                    out.setdefault(k, v)
         except Exception:
             pass
     def _checkpoint():
         out["fullres_compile_check"] = compile_rows
         json.dump(out, open(prev_path, "w"), indent=1)
 
+    hh, ww = left.shape[:2]
     for n in ns:
+        key = str(n) if scale == 1 else f"{n}@{hh}x{ww}"
         mesh = Mesh(devs[:n].reshape(n), ("tile",))
         t0 = time.perf_counter()
         lowered = match_sharded.lower(
@@ -201,9 +225,9 @@ def main() -> None:
         # persist the lower() evidence NOW: the XLA CPU compile below
         # runs >1.5 h on this one-core box and a timeout must not wipe
         # the fact that tracing/sharding at true shape succeeded
-        compile_rows[n] = {"lower_s": round(t_lower, 1), "ok": "lowered"}
+        compile_rows[key] = {"lower_s": round(t_lower, 1), "ok": "lowered"}
         _checkpoint()
-        print(json.dumps({f"lower_n{n}": compile_rows[n]}), flush=True)
+        print(json.dumps({f"lower_{key}": compile_rows[key]}), flush=True)
         t0 = time.perf_counter()
         compiled = lowered.compile()
         t_compile = time.perf_counter() - t0
@@ -213,7 +237,7 @@ def main() -> None:
             tmp_gb = round(mem.temp_size_in_bytes / 1024**3, 3)
         except Exception:
             arg_gb = tmp_gb = None
-        compile_rows[n] = {
+        compile_rows[key] = {
             "lower_s": round(t_lower, 1),
             "compile_s": round(t_compile, 1),
             "ok": True,
@@ -221,7 +245,7 @@ def main() -> None:
             "temp_size_gb": tmp_gb,
         }
         _checkpoint()
-        print(json.dumps({f"compile_n{n}": compile_rows[n]}), flush=True)
+        print(json.dumps({f"compile_{key}": compile_rows[key]}), flush=True)
     if not ns and not compile_rows:
         # --ns none with no prior rows: make the skip self-describing
         # (an empty dict is indistinguishable from a failed run)
