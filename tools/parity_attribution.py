@@ -372,13 +372,18 @@ def main():
                     "two-sided residue as `compound`)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # default to CPU (deterministic, tunnel-free) but honor an explicit
+    # JAX_PLATFORMS=tpu: the D=256 configs compile the parity pipeline
+    # far faster through the TPU toolchain than the pathologically slow
+    # XLA CPU compile; run Cone alongside as the backend cross-check
+    # (its row must reproduce the CPU-backend classes exactly)
+    plat = os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
     try:
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", plat)
     except Exception as e:
-        print(f"warning: could not pin cpu: {e}", file=sys.stderr)
+        print(f"warning: could not pin {plat}: {e}", file=sys.stderr)
     from adcensus_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()

@@ -139,6 +139,29 @@ def main() -> None:
             f"{r.get('speedup_vs_cpu_ref', '-')}x |"
         )
     lines.append("")
+    hetero_path = os.path.join(ROOT, "HETERO.json")
+    if os.path.exists(hetero_path):
+        hres = json.load(open(hetero_path)).get("result", {})
+        if hres:
+            lines += [
+                "## Heterogeneous batch (BASELINE config 3 as written)",
+                "",
+                "Wood2 + Cone — different shapes AND disparity ranges — "
+                "matched in ONE jitted dispatch "
+                "(`pipeline.match_hetero_device`, `tools/hetero_bench.py`; "
+                "the reference runs one pair per process, main.cpp:34-145):",
+                "",
+                "| program | time | throughput | accuracy | equality |",
+                "|---|---|---|---|---|",
+                f"| Wood2+Cone hetero batch (1 dispatch) | "
+                f"{hres['hetero_dispatch_s'] * 1e3:.2f} ms | "
+                f"{hres['hetero_mpixd_per_s']:.0f} Mpix·disp/s | "
+                f"Wood2 bad-2.0 {hres['Wood2_bad_2_0_pct']} / Cone "
+                f"{hres['Cone_bad_2_0_pct']} | == per-pair dispatches "
+                f"(max \\|Δ\\| "
+                f"{max(hres['Wood2_max_abs_vs_single'], hres['Cone_max_abs_vs_single']):.1e}) |",
+                "",
+            ]
     cone = next((r for r in rows if r["pair"] == "Cone"), None)
     if cone and "exact_bad_2_0_pct" in cone and "ref_bad_2_0_pct" in cone:
         d_mode = round(
