@@ -197,7 +197,14 @@ def _sequential_vote_replay(ref: dict, arms: np.ndarray, opts) -> dict:
     }
 
 
-def attribute_pair(label, name, dmin, dmax, crop=None, seq_replay=False):
+def attribute_pair(label, name, dmin, dmax, crop=None, seq_replay=False,
+                   use_pallas=False):
+    # use_pallas=True runs our chain + counterfactuals on the masked-roll
+    # Pallas kernels instead of the jnp mirrors — bitwise-equal by test
+    # (tests/test_aggregate.py, test_refine.py), and the only parity
+    # program that both fits the 16 GB chip and compiles for TPU at
+    # D=256 (the jnp-mirror program wants 29.5 GB HBM; its XLA CPU
+    # compile runs >1 h).
     import dataclasses
 
     import jax
@@ -243,7 +250,7 @@ def attribute_pair(label, name, dmin, dmax, crop=None, seq_replay=False):
     gray_r = jnp.asarray(cost_stage.compute_gray_host64(right))
     ours = pipeline.match_core_jit(
         jnp.asarray(left), jnp.asarray(right), gray_l, gray_r, opts,
-        return_intermediates=True, use_pallas=False,
+        return_intermediates=True, use_pallas=use_pallas,
     )
     ours = {k: np.asarray(v) for k, v in ours.items()}
 
@@ -265,17 +272,17 @@ def attribute_pair(label, name, dmin, dmax, crop=None, seq_replay=False):
     @jax.jit
     def tail_ctf_fn(lr_map, occl, mism, arms, left_img):
         v = refine_stage.iterative_region_voting(
-            lr_map, arms, occl, mism, opts, use_pallas=False
+            lr_map, arms, occl, mism, opts, use_pallas=use_pallas
         )
         i = refine_stage.proper_interpolation(
-            v, left_img, occl, mism, opts, use_pallas=False
+            v, left_img, occl, mism, opts, use_pallas=use_pallas
         )
         return v, i, refine_stage.median_filter_3x3_inplace(i)
 
     @jax.jit
     def im_ctf_fn(vote_map, occl, mism, left_img):
         i = refine_stage.proper_interpolation(
-            vote_map, left_img, occl, mism, opts, use_pallas=False
+            vote_map, left_img, occl, mism, opts, use_pallas=use_pallas
         )
         return i, refine_stage.median_filter_3x3_inplace(i)
 
@@ -366,6 +373,11 @@ def main():
                     help="config labels (default: all five)")
     ap.add_argument("--crop", type=int, default=None,
                     help="run on a top-left NxN crop (smoke test)")
+    ap.add_argument("--kernels", choices=["jnp", "pallas"],
+                    default="jnp",
+                    help="backend for our chain + counterfactuals "
+                    "(bitwise-equal by test; pallas is the one that "
+                    "fits TPU memory at D=256)")
     ap.add_argument("--seq-replay", action="store_true",
                     help="also run the sequential fill-order replay "
                     "(proves voting-logic faithfulness; reclassifies "
@@ -394,7 +406,8 @@ def main():
             continue
         print(f"[attribution] {label} ...", file=sys.stderr, flush=True)
         res = attribute_pair(label, name, dmin, dmax, crop=args.crop,
-                             seq_replay=args.seq_replay)
+                             seq_replay=args.seq_replay,
+                             use_pallas=args.kernels == "pallas")
         print(json.dumps(res), flush=True)
         out.append(res)
 
