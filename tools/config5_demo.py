@@ -201,9 +201,12 @@ def main() -> None:
                 # a real compile pass supersedes a recorded deferral
                 compile_rows.pop("skipped", None)
             # keep every other recorded section (full-res synthesis,
-            # prior-scale synthesis rows, compile_attempt notes)
+            # prior-scale synthesis rows, compile_attempt notes, the
+            # executed batched stream) — _checkpoint() rewrites the
+            # whole file, so anything not carried here is lost on the
+            # next mid-compile checkpoint
             for k, v in prev.items():
-                if k not in ("fullres_compile_check", "batched_stream"):
+                if k != "fullres_compile_check":
                     out.setdefault(k, v)
         except Exception:
             pass
