@@ -132,3 +132,43 @@ def test_nonzero_min_disparity_matches_oracle(small_pair, dmin, dmax):
     d = np.abs(out[m] - ref[m])
     assert (d <= 0.5).mean() > 0.93
     assert (d <= 2.0).mean() > 0.97
+
+
+def test_batched_grouped_unroll_matches_single(small_pair):
+    """match_batched_device: B=4 stack with group=2 exercises the
+    lax.map-over-statically-unrolled-groups path (reshape to
+    (B//g, g, ...) and back); every output equals the single-pair
+    dispatch. group=None on these tiny shapes resolves to full unroll
+    (g == B), covered by the same check."""
+    from adcensus_tpu.config import ADCensusOptions
+    from adcensus_tpu.stages.pipeline import (
+        _batch_group_size, match_batched_device, match_device,
+    )
+
+    left, right = small_pair
+    opts = ADCensusOptions(min_disparity=0, max_disparity=8)
+    h, w, _ = left.shape
+    # tiny pairs fit any budget -> auto group is the whole batch
+    assert _batch_group_size(4, h, w, opts) == 4
+    # a Piano256-scale pair must split: 6x volume ~2.1 GB/pair
+    assert _batch_group_size(8, 481, 707, ADCensusOptions(
+        min_disparity=0, max_disparity=256)) == 4
+
+    B = 4
+    # distinct pairs per slot (flip/roll) so cross-pair DCE or slot
+    # mix-ups cannot cancel out
+    lefts = np.stack([left, left[::-1].copy(), right, right[::-1].copy()])
+    rights = np.stack([right, right[::-1].copy(), left, left[::-1].copy()])
+    out = np.asarray(
+        match_batched_device(
+            jnp.asarray(lefts), jnp.asarray(rights), opts, group=2
+        )
+    )
+    assert out.shape == (B, h, w)
+    for i in range(B):
+        ref = np.asarray(
+            match_device(jnp.asarray(lefts[i]), jnp.asarray(rights[i]), opts)
+        )
+        assert np.array_equal(np.isfinite(out[i]), np.isfinite(ref)), i
+        m = np.isfinite(ref)
+        assert np.abs(out[i][m] - ref[m]).max() <= 1e-3, i
