@@ -56,7 +56,12 @@ licenses classifying the two-sided residue as `compound` rather than
 
 Usage:
   python tools/parity_attribution.py [--pairs Cone Wood2 ...] [--crop N]
-      [--seq-replay]
+      [--seq-replay] [--kernels jnp|pallas]
+
+Backend note: defaults to CPU; JAX_PLATFORMS=axon (set in the
+environment BEFORE launch — in-process pinning does not stick under the
+axon sitecustomize) runs on the TPU, where `--kernels pallas` is
+required for D=256 configs (the jnp-mirror program wants 29.5 GB HBM).
 
 Writes PARITY_ATTRIBUTION.json and prints a markdown table (merged into
 PARITY.md by tools/parity_report.py --attribution or by hand).
